@@ -1,0 +1,288 @@
+"""Corpus parsing and device-friendly batch layouts.
+
+Reference behaviour (SURVEY.md section 2.1 row 7, upstream:inferencer.py
+``parse_data`` [UNVERIFIED]): one document per line, lowercased,
+whitespace-tokenised, out-of-vocabulary tokens dropped; VB consumes per-doc
+(unique type ids, counts), Gibbs/hybrid consume full token sequences.
+
+The TPU-first departure (SURVEY.md section 7.1/7.3): instead of Python lists
+of per-doc arrays feeding a per-document interpreter loop, documents are
+packed into statically-shaped batches —
+
+- ``DenseBatch``: a dense doc-term count matrix (small vocabularies), which
+  turns the whole E-step into MXU matmuls;
+- ``RaggedBucket``: length-bucketed padded ``(ids, counts)`` pairs (large
+  vocabularies), consumed via gathers + segment sums;
+- ``SequenceBucket``: length-bucketed padded token sequences for the
+  sampling engines (Gibbs/hybrid).
+
+Padding is inert by construction: padded token slots carry count 0 and
+padded document rows carry an explicit mask used wherever per-document
+statistics feed hyperparameter updates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pylda_tpu.corpus.vocabulary import Vocabulary
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseBatch:
+    """Dense doc-term counts: the pure-matmul E-step layout."""
+
+    counts: np.ndarray  # [D, V] float32
+    mask: np.ndarray  # [D] float32, 1.0 for real docs
+    doc_ids: np.ndarray  # [D] int32, -1 for padding rows
+
+    @property
+    def num_docs(self) -> int:
+        return int(self.mask.sum())
+
+    @property
+    def num_tokens(self) -> float:
+        return float(self.counts.sum())
+
+
+@dataclasses.dataclass(frozen=True)
+class RaggedBucket:
+    """Padded (unique-type ids, counts) rows for one length bucket."""
+
+    ids: np.ndarray  # [D, T] int32 (0 for padded slots)
+    cnts: np.ndarray  # [D, T] float32 (0 for padded slots)
+    mask: np.ndarray  # [D] float32
+    doc_ids: np.ndarray  # [D] int32, -1 for padding rows
+
+    @property
+    def num_docs(self) -> int:
+        return int(self.mask.sum())
+
+    @property
+    def num_tokens(self) -> float:
+        return float(self.cnts.sum())
+
+
+@dataclasses.dataclass(frozen=True)
+class SequenceBucket:
+    """Padded full token sequences for the sampling engines."""
+
+    tokens: np.ndarray  # [D, L] int32 (0 for padded slots)
+    token_mask: np.ndarray  # [D, L] float32
+    mask: np.ndarray  # [D] float32
+    doc_ids: np.ndarray  # [D] int32
+
+    @property
+    def num_docs(self) -> int:
+        return int(self.mask.sum())
+
+    @property
+    def num_tokens(self) -> float:
+        return float(self.token_mask.sum())
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class Corpus:
+    """A tokenised corpus: per-document token-id sequences + vocabulary."""
+
+    def __init__(self, docs: Sequence[np.ndarray], vocab: Vocabulary):
+        self.docs: List[np.ndarray] = [
+            np.asarray(d, dtype=np.int32) for d in docs
+        ]
+        self.vocab = vocab
+        # Cache per-doc unique (ids, counts).
+        self._uniques: List[Tuple[np.ndarray, np.ndarray]] = []
+        for d in self.docs:
+            if d.size:
+                ids, cnts = np.unique(d, return_counts=True)
+            else:
+                ids = np.zeros((0,), np.int32)
+                cnts = np.zeros((0,), np.int64)
+            self._uniques.append(
+                (ids.astype(np.int32), cnts.astype(np.float32))
+            )
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_lines(
+        cls, lines: Iterable[str], vocab: Vocabulary
+    ) -> "Corpus":
+        docs = []
+        for line in lines:
+            toks = line.lower().split()
+            ids = [vocab.get(t) for t in toks]
+            docs.append(
+                np.asarray([i for i in ids if i >= 0], dtype=np.int32)
+            )
+        return cls(docs, vocab)
+
+    @classmethod
+    def from_file(cls, path: str, vocab: Vocabulary) -> "Corpus":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_lines(f, vocab)
+
+    # -- stats ----------------------------------------------------------------
+
+    @property
+    def num_docs(self) -> int:
+        return len(self.docs)
+
+    @property
+    def num_types(self) -> int:
+        return len(self.vocab)
+
+    @property
+    def num_tokens(self) -> int:
+        return int(sum(d.size for d in self.docs))
+
+    def doc_unique(self, d: int) -> Tuple[np.ndarray, np.ndarray]:
+        return self._uniques[d]
+
+    # -- batch layouts --------------------------------------------------------
+
+    def to_dense(
+        self,
+        doc_indices: Optional[Sequence[int]] = None,
+        pad_docs_to: Optional[int] = None,
+    ) -> DenseBatch:
+        """Dense [D, V] counts (optionally a subset / padded doc axis)."""
+        idx = (
+            np.arange(self.num_docs)
+            if doc_indices is None
+            else np.asarray(doc_indices, dtype=np.int64)
+        )
+        D = len(idx) if pad_docs_to is None else pad_docs_to
+        if D < len(idx):
+            raise ValueError("pad_docs_to smaller than document count")
+        counts = np.zeros((D, self.num_types), dtype=np.float32)
+        mask = np.zeros((D,), dtype=np.float32)
+        doc_ids = np.full((D,), -1, dtype=np.int32)
+        for row, d in enumerate(idx):
+            ids, cnts = self._uniques[d]
+            counts[row, ids] = cnts
+            mask[row] = 1.0
+            doc_ids[row] = d
+        return DenseBatch(counts=counts, mask=mask, doc_ids=doc_ids)
+
+    def to_ragged_buckets(
+        self,
+        bucket_sizes: Sequence[int] = (64, 128, 256, 512, 1024, 2048),
+        doc_pad_multiple: int = 64,
+        doc_indices: Optional[Sequence[int]] = None,
+    ) -> List[RaggedBucket]:
+        """Length-bucketed padded (ids, counts); bucket key = unique types."""
+        idx = (
+            range(self.num_docs)
+            if doc_indices is None
+            else [int(i) for i in doc_indices]
+        )
+        buckets: dict = {}
+        max_bucket = max(bucket_sizes)
+        for d in idx:
+            n = self._uniques[d][0].size
+            # Smallest bucket that fits; oversized docs go to the largest
+            # bucket in chunks (blockwise split of one huge document —
+            # the long-context analog, SURVEY.md section 5).
+            size = next((b for b in bucket_sizes if n <= b), max_bucket)
+            buckets.setdefault(size, []).append(d)
+        out: List[RaggedBucket] = []
+        for size in sorted(buckets):
+            members = buckets[size]
+            rows: List[Tuple[int, np.ndarray, np.ndarray]] = []
+            for d in members:
+                ids, cnts = self._uniques[d]
+                if ids.size <= size:
+                    rows.append((d, ids, cnts))
+                else:
+                    # Chunk an oversized doc into several rows sharing the
+                    # same doc id; E-step treats chunks as separate docs
+                    # (documented approximation for pathological docs).
+                    for s in range(0, ids.size, size):
+                        rows.append((d, ids[s : s + size], cnts[s : s + size]))
+            D = _round_up(len(rows), doc_pad_multiple)
+            ids_a = np.zeros((D, size), dtype=np.int32)
+            cnt_a = np.zeros((D, size), dtype=np.float32)
+            mask = np.zeros((D,), dtype=np.float32)
+            doc_ids = np.full((D,), -1, dtype=np.int32)
+            for r, (d, ids, cnts) in enumerate(rows):
+                ids_a[r, : ids.size] = ids
+                cnt_a[r, : cnts.size] = cnts
+                mask[r] = 1.0
+                doc_ids[r] = d
+            out.append(
+                RaggedBucket(ids=ids_a, cnts=cnt_a, mask=mask, doc_ids=doc_ids)
+            )
+        return out
+
+    def to_sequence_buckets(
+        self,
+        bucket_sizes: Sequence[int] = (64, 128, 256, 512, 1024, 2048),
+        doc_pad_multiple: int = 64,
+        doc_indices: Optional[Sequence[int]] = None,
+        rng: Optional[np.random.Generator] = None,
+    ) -> List[SequenceBucket]:
+        """Length-bucketed padded token sequences (sampling engines).
+
+        Token order within a document never matters for LDA (bag of words,
+        SURVEY.md section 5), so oversized documents are truncated at the
+        largest bucket after an optional shuffle (keeps a uniform subsample).
+        """
+        idx = (
+            range(self.num_docs)
+            if doc_indices is None
+            else [int(i) for i in doc_indices]
+        )
+        max_bucket = max(bucket_sizes)
+        buckets: dict = {}
+        for d in idx:
+            n = min(self.docs[d].size, max_bucket)
+            size = next((b for b in bucket_sizes if n <= b), max_bucket)
+            buckets.setdefault(size, []).append(d)
+        out: List[SequenceBucket] = []
+        for size in sorted(buckets):
+            members = buckets[size]
+            D = _round_up(len(members), doc_pad_multiple)
+            toks = np.zeros((D, size), dtype=np.int32)
+            tmask = np.zeros((D, size), dtype=np.float32)
+            mask = np.zeros((D,), dtype=np.float32)
+            doc_ids = np.full((D,), -1, dtype=np.int32)
+            for r, d in enumerate(members):
+                seq = self.docs[d]
+                if seq.size > size:
+                    if rng is not None:
+                        seq = rng.permutation(seq)
+                    seq = seq[:size]
+                toks[r, : seq.size] = seq
+                tmask[r, : seq.size] = 1.0
+                mask[r] = 1.0
+                doc_ids[r] = d
+            out.append(
+                SequenceBucket(
+                    tokens=toks, token_mask=tmask, mask=mask, doc_ids=doc_ids
+                )
+            )
+        return out
+
+    # -- splits / minibatches -------------------------------------------------
+
+    def subset(self, doc_indices: Sequence[int]) -> "Corpus":
+        return Corpus([self.docs[int(i)] for i in doc_indices], self.vocab)
+
+    def minibatch_indices(
+        self, batch_size: int, seed: int = 0
+    ) -> List[np.ndarray]:
+        """A random partition of documents into fixed-size minibatches
+        (last batch zero-padded by the caller via ``pad_docs_to``)."""
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(self.num_docs)
+        return [
+            perm[s : s + batch_size]
+            for s in range(0, self.num_docs, batch_size)
+        ]

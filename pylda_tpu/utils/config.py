@@ -1,0 +1,124 @@
+"""Configuration for the TPU-native LDA engines.
+
+The reference configures everything through ``optparse`` flags on its two
+launchers (SURVEY.md section 5 "Config / flag system",
+upstream:launch_train.py [UNVERIFIED]).  We keep the exact same flag names on
+our CLI (see ``pylda_tpu.cli``) and centralise them in one dataclass, plus
+the new TPU-specific knobs (mesh shape, minibatch size, SVI schedule,
+precision, bucketing policy) that have no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class LDAConfig:
+    """All knobs for corpus layout, inference engine, and training loop.
+
+    Reference-parity fields keep the reference's flag names verbatim
+    (``number_of_topics``, ``alpha_alpha``, ``alpha_beta``,
+    ``training_iterations``, ``snapshot_interval``, ``inference_mode``,
+    ``hyper_parameter_optimize_interval``) so reference run scripts map
+    one-to-one.
+    """
+
+    # ----- model (reference flags) -----
+    number_of_topics: int = 10
+    # Dirichlet hyperparameters.  The reference uses a negative sentinel for
+    # "unset" and then defaults alpha_alpha = 1/K, alpha_beta = 1/V
+    # (SURVEY.md section 5).  ``None`` or a negative value means "use the
+    # default".
+    alpha_alpha: Optional[float] = None
+    alpha_beta: Optional[float] = None
+
+    # ----- training loop (reference flags) -----
+    training_iterations: int = 50
+    snapshot_interval: int = 10
+    # 0 or negative disables hyperparameter optimization (reference default
+    # behaviour is off unless the interval flag is passed [UNVERIFIED]).
+    hyper_parameter_optimize_interval: int = 0
+
+    # Engine selection: "vb" | "gibbs" | "hybrid" | "svi".  The reference's
+    # --inference_mode selects among VariationalBayes / MonteCarlo / Hybrid
+    # (SURVEY.md section 2.1 rows 4-6); "svi" is our minibatch extension
+    # mandated by BASELINE.json:10-11.
+    inference_mode: str = "vb"
+
+    # ----- E-step fixed point (SURVEY.md section 8.1) -----
+    # The reference iterates each document's gamma/phi fixed point up to
+    # ~50 times with a per-document early exit at mean|dgamma| < 1e-6
+    # (SURVEY.md section 3.1).  On TPU we run a batched while_loop with a
+    # convergence criterion over the whole batch (max over docs of
+    # mean|dgamma|); parity is judged on perplexity, not iteration counts
+    # (SURVEY.md section 7.3).
+    inner_iterations: int = 50
+    convergence_threshold: float = 1e-5
+
+    # ----- sampling engines (SURVEY.md sections 8.2, 8.3) -----
+    number_of_samples: int = 10  # kept sweeps averaged into phi-stats (hybrid)
+    burn_in_sweeps: int = 5
+
+    # ----- Wallach slice sampler (Gibbs hyperopt; SURVEY.md section 8.2) ---
+    slice_samples: int = 5
+    slice_step: float = 3.0
+
+    # ----- SVI (SURVEY.md section 8.4) -----
+    batch_size: int = 256
+    tau0: float = 64.0
+    kappa: float = 0.7
+
+    # ----- data layout (TPU-specific; SURVEY.md section 7.3 "Raggedness") --
+    # Below this vocabulary size the corpus is materialised as a dense
+    # doc-term count matrix (pure matmul E-step on the MXU); above it we use
+    # length-bucketed padded (ids, counts) with segment-sum scatter.
+    dense_vocab_threshold: int = 4096
+    # Token-axis bucket boundaries for the ragged layout; docs are padded up
+    # to the smallest bucket that fits their unique-type count.  Multiples of
+    # 128 keep the lane dimension aligned (pallas_guide.md "Tiling").
+    bucket_sizes: Tuple[int, ...] = (64, 128, 256, 512, 1024, 2048)
+    # Pad the document axis of every bucket to a multiple of this to bound
+    # the number of distinct compiled shapes.
+    doc_pad_multiple: int = 64
+
+    # ----- numerics -----
+    dtype: str = "float32"
+    # Floor added to phi normalisers before division/log; the f32 analog of
+    # the reference-style 1e-100 f64 guard (SURVEY.md section 7.3 "f32 vs
+    # f64").
+    eps: float = 1e-30
+
+    # ----- parallelism (no reference counterpart; BASELINE.json:5,11) -----
+    # Mesh shape as (data, model).  None → (n_devices, 1).
+    mesh_shape: Optional[Tuple[int, int]] = None
+    # Shard lambda's vocab axis over the "model" mesh axis (tensor
+    # parallelism for K*V at K=1000, V=100k; SURVEY.md section 2.2).
+    shard_vocab: bool = False
+
+    # ----- misc -----
+    seed: int = 0
+
+    def resolved_alpha(self) -> float:
+        a = self.alpha_alpha
+        if a is None or a <= 0:
+            return 1.0 / self.number_of_topics
+        return float(a)
+
+    def resolved_eta(self, num_types: int) -> float:
+        b = self.alpha_beta
+        if b is None or b <= 0:
+            return 1.0 / num_types
+        return float(b)
+
+    def validate(self) -> "LDAConfig":
+        if self.number_of_topics <= 0:
+            raise ValueError("number_of_topics must be positive")
+        if self.inference_mode not in ("vb", "gibbs", "hybrid", "svi"):
+            raise ValueError(f"unknown inference_mode: {self.inference_mode}")
+        if self.inner_iterations <= 0:
+            raise ValueError("inner_iterations must be positive")
+        if not 0.5 < self.kappa <= 1.0:
+            raise ValueError("kappa must be in (0.5, 1] for SVI convergence")
+        return self

@@ -1,0 +1,130 @@
+import numpy as np
+import pytest
+
+from pylda_tpu.corpus import synthetic_corpus
+from pylda_tpu.oracle import OracleGibbs, OracleVB
+
+
+@pytest.fixture(scope="module")
+def small_corpus():
+    corpus, beta, theta = synthetic_corpus(
+        num_docs=60, num_topics=5, num_types=120, mean_doc_length=40, seed=7
+    )
+    return corpus, beta, theta
+
+
+def test_vb_elbo_monotone(small_corpus):
+    corpus, _, _ = small_corpus
+    vb = OracleVB(corpus, num_topics=5, alpha=0.2, eta=0.01, seed=0)
+    elbos = [vb.learning() for _ in range(8)]
+    diffs = np.diff(elbos)
+    assert (diffs > -1e-6 * np.abs(elbos[0])).all(), elbos
+
+
+def test_vb_gamma_row_sums(small_corpus):
+    """gamma rows must sum to alpha*K + doc token count (SURVEY.md 4.2)."""
+    corpus, _, _ = small_corpus
+    vb = OracleVB(
+        corpus, num_topics=5, alpha=0.2, eta=0.01, seed=0,
+        inner_iterations=200, convergence_threshold=1e-10,
+    )
+    for _ in range(3):
+        vb.learning()
+    doc_lens = np.array([d.size for d in corpus.docs], dtype=np.float64)
+    np.testing.assert_allclose(
+        vb.gamma.sum(axis=1), 0.2 * 5 + doc_lens, rtol=1e-6
+    )
+
+
+def test_vb_lambda_floor(small_corpus):
+    corpus, _, _ = small_corpus
+    vb = OracleVB(corpus, num_topics=5, alpha=0.2, eta=0.01, seed=0)
+    vb.learning()
+    assert (vb.lam >= 0.01 - 1e-12).all()
+
+
+def test_vb_perplexity_improves(small_corpus):
+    corpus, _, _ = small_corpus
+    test = corpus.subset(range(0, 10))
+    vb = OracleVB(corpus, num_topics=5, alpha=0.2, eta=0.01, seed=0)
+    p0 = vb.perplexity(test)
+    for _ in range(10):
+        vb.learning()
+    p1 = vb.perplexity(test)
+    assert p1 < p0
+
+
+def test_vb_alpha_newton_stays_positive_and_improves(small_corpus):
+    corpus, _, _ = small_corpus
+    vb = OracleVB(corpus, num_topics=5, alpha=0.5, eta=0.01, seed=0)
+    for _ in range(3):
+        vb.learning()
+    before = vb.theta_score(vb.gamma)
+    vb.update_alpha(vb.gamma)
+    assert (vb.alpha > 0).all()
+    after = vb.theta_score(vb.gamma)
+    # Newton maximises the alpha-dependent part of the bound.
+    assert after >= before - 1e-8
+
+
+def test_vb_eta_newton(small_corpus):
+    corpus, _, _ = small_corpus
+    vb = OracleVB(corpus, num_topics=5, alpha=0.2, eta=0.05, seed=0)
+    for _ in range(3):
+        vb.learning()
+    before = vb.beta_score()
+    vb.update_eta()
+    assert (vb.eta > 0).all()
+    assert vb.beta_score() >= before - 1e-8
+
+
+def test_gibbs_invariants_and_likelihood(small_corpus):
+    corpus, _, _ = small_corpus
+    g = OracleGibbs(corpus, num_topics=5, alpha=0.2, beta=0.05, seed=0)
+    g.check_invariants()
+    lls = [g.learning() for _ in range(5)]
+    g.check_invariants()
+    # Joint likelihood should trend upward from random init.
+    assert lls[-1] > lls[0]
+
+
+def test_gibbs_slice_sampler_updates_hypers(small_corpus):
+    corpus, _, _ = small_corpus
+    g = OracleGibbs(corpus, num_topics=5, alpha=1.0, beta=1.0, seed=0)
+    for _ in range(3):
+        g.sweep()
+    ll_before = g.log_likelihood(g.alpha, g.beta)
+    g.optimize_hyperparameters(samples=5, step=3.0)
+    ll_after = g.log_likelihood(g.alpha, g.beta)
+    assert (g.alpha > 0).all() and (g.beta > 0).all()
+    # Slice sampling samples from the posterior; it should not collapse.
+    assert np.isfinite(ll_after)
+    assert ll_after > ll_before - 50.0
+
+
+def test_vb_topic_recovery():
+    """Planted-topic recovery (SURVEY.md section 4 item 3)."""
+    K, V = 5, 100
+    corpus, true_beta, _ = synthetic_corpus(
+        num_docs=300, num_topics=K, num_types=V,
+        mean_doc_length=120, alpha=0.08, beta_concentration=0.03, seed=11,
+    )
+    vb = OracleVB(corpus, num_topics=K, alpha=0.1, eta=0.01, seed=1)
+    for _ in range(25):
+        vb.learning()
+    est = vb.lam / vb.lam.sum(axis=1, keepdims=True)
+    # Greedy-match estimated topics to true topics by top-10 word overlap.
+    true_top = np.argsort(-true_beta, axis=1)[:, :10]
+    est_top = np.argsort(-est, axis=1)[:, :10]
+    overlaps = np.zeros((K, K))
+    for i in range(K):
+        for j in range(K):
+            overlaps[i, j] = len(
+                set(true_top[i].tolist()) & set(est_top[j].tolist())
+            )
+    # Every true topic should be at least partially recovered and most
+    # should be recovered well (VB can merge/split one pair at K=true K —
+    # judge statistically, SURVEY.md section 7.3 "RNG parity").
+    best = overlaps.max(axis=1)
+    assert (best >= 4).all(), best
+    assert best.mean() >= 6.5, best
