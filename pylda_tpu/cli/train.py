@@ -1,0 +1,223 @@
+"""Training launcher — the reference's ``launch_train.py`` surface.
+
+Accepts the reference's flag names verbatim (SURVEY.md section 5 "Config /
+flag system"): --input_directory, --output_directory, --number_of_topics,
+--training_iterations, --alpha_alpha, --alpha_beta, --snapshot_interval,
+--inference_mode, --hyper_parameter_optimize_interval; reference run
+scripts work unchanged.  New TPU-era flags (mesh, SVI schedule, precision,
+profiling) are additive.
+
+Behaviour mirrors upstream:launch_train.py [UNVERIFIED] (SURVEY.md section
+3.1): load doc.dat/voc.dat, create a timestamped output subdirectory whose
+name encodes the config, loop ``engine.learning()`` printing per-iteration
+wall time + log-likelihood, snapshot ``exp_beta-<i>`` and ``model-<i>``
+every snapshot_interval, final model at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import time
+from typing import List, Optional
+
+from pylda_tpu.corpus.datasets import load_input_directory
+from pylda_tpu.utils.config import LDAConfig
+from pylda_tpu.utils.metrics import MetricsLogger, is_host_zero
+
+# Reference --inference_mode was possibly an integer selector (SURVEY.md
+# section 9 open question 1); accept both spellings.
+_MODE_ALIASES = {
+    "0": "vb", "vb": "vb", "variational": "vb", "variational_bayes": "vb",
+    "1": "gibbs", "gibbs": "gibbs", "mc": "gibbs", "monte_carlo": "gibbs",
+    "2": "hybrid", "hybrid": "hybrid",
+    "3": "svi", "svi": "svi", "online": "svi", "stochastic": "svi",
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pylda-train",
+        description="TPU-native LDA training (PyLDA-compatible flags)",
+    )
+    # -- reference flags --
+    p.add_argument("--input_directory", required=True)
+    p.add_argument("--output_directory", required=True)
+    p.add_argument("--number_of_topics", type=int, required=True)
+    p.add_argument("--training_iterations", type=int, default=50)
+    p.add_argument("--alpha_alpha", type=float, default=-1.0,
+                   help="doc-topic Dirichlet; <=0 means 1/K (reference default)")
+    p.add_argument("--alpha_beta", type=float, default=-1.0,
+                   help="topic-word Dirichlet; <=0 means 1/V (reference default)")
+    p.add_argument("--snapshot_interval", type=int, default=10)
+    p.add_argument("--hyper_parameter_optimize_interval", type=int, default=0)
+    p.add_argument("--inference_mode", default="vb",
+                   help="vb|gibbs|hybrid|svi (or reference ints 0/1/2)")
+    # -- engine knobs --
+    p.add_argument("--inner_iterations", type=int, default=50)
+    p.add_argument("--convergence_threshold", type=float, default=1e-5)
+    p.add_argument("--number_of_samples", type=int, default=10)
+    p.add_argument("--burn_in_sweeps", type=int, default=5)
+    # -- SVI --
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--tau0", type=float, default=64.0)
+    p.add_argument("--kappa", type=float, default=0.7)
+    # -- layout / parallelism --
+    p.add_argument("--dense_vocab_threshold", type=int, default=4096)
+    p.add_argument("--mesh", default=None,
+                   help="data,model mesh shape, e.g. 8,1 or 4,2")
+    p.add_argument("--shard_vocab", action="store_true")
+    p.add_argument("--coordinator_address", default=None,
+                   help="multi-host: ip:port of process 0")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    # -- misc --
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--gamma_init", default="gamma", choices=["gamma", "ones"])
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace into this directory")
+    p.add_argument("--resume", default=None,
+                   help="path to a model-<N> checkpoint to resume from")
+    return p
+
+
+def config_from_args(args) -> LDAConfig:
+    mode = _MODE_ALIASES.get(str(args.inference_mode).lower())
+    if mode is None:
+        raise SystemExit(f"unknown --inference_mode: {args.inference_mode}")
+    return LDAConfig(
+        number_of_topics=args.number_of_topics,
+        alpha_alpha=None if args.alpha_alpha <= 0 else args.alpha_alpha,
+        alpha_beta=None if args.alpha_beta <= 0 else args.alpha_beta,
+        training_iterations=args.training_iterations,
+        snapshot_interval=args.snapshot_interval,
+        hyper_parameter_optimize_interval=(
+            args.hyper_parameter_optimize_interval
+        ),
+        inference_mode=mode,
+        inner_iterations=args.inner_iterations,
+        convergence_threshold=args.convergence_threshold,
+        number_of_samples=args.number_of_samples,
+        burn_in_sweeps=args.burn_in_sweeps,
+        batch_size=args.batch_size,
+        tau0=args.tau0,
+        kappa=args.kappa,
+        dense_vocab_threshold=args.dense_vocab_threshold,
+        mesh_shape=(
+            tuple(int(x) for x in args.mesh.split(",")) if args.mesh else None
+        ),
+        shard_vocab=args.shard_vocab,
+        seed=args.seed,
+        dtype=args.dtype,
+        gamma_init=args.gamma_init,
+    ).validate()
+
+
+def output_run_directory(args, config: LDAConfig) -> str:
+    """Reference-style run dir: <out>/<corpus>/<timestamp>-lda-I..-S..-K..
+    -aa..-ab..-im.. (config is readable from the path; SURVEY.md 2.1 row 1).
+    """
+    corpus_name = os.path.basename(os.path.normpath(args.input_directory))
+    ts = datetime.datetime.now().strftime("%y%m%d-%H%M%S")
+    aa = config.alpha_alpha if config.alpha_alpha else config.resolved_alpha()
+    ab = config.alpha_beta if config.alpha_beta else 0.0
+    suffix = (
+        f"{ts}-lda-I{config.training_iterations}"
+        f"-S{config.snapshot_interval}-K{config.number_of_topics}"
+        f"-aa{aa:g}-ab{ab:g}-im{config.inference_mode}"
+    )
+    return os.path.join(args.output_directory, corpus_name, suffix)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    config = config_from_args(args)
+
+    from pylda_tpu.parallel.mesh import init_distributed, make_mesh
+
+    init_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
+    mesh = None
+    if config.mesh_shape is not None:
+        mesh = make_mesh(shape=config.mesh_shape)
+
+    train, test, vocab = load_input_directory(args.input_directory)
+    run_dir = output_run_directory(args, config)
+    if is_host_zero():
+        os.makedirs(run_dir, exist_ok=True)
+    metrics = MetricsLogger(run_dir)
+    metrics.log(
+        event="start",
+        corpus=args.input_directory,
+        documents=train.num_docs,
+        types=len(vocab),
+        tokens=train.num_tokens,
+        mode=config.inference_mode,
+        K=config.number_of_topics,
+        mesh=str(config.mesh_shape),
+    )
+
+    from pylda_tpu.models import Inferencer, make_engine
+
+    if args.resume:
+        engine = Inferencer.load(args.resume, corpus=train)
+        start_iter = engine._counter
+        metrics.log(event="resume", checkpoint=args.resume, iteration=start_iter)
+    else:
+        engine = make_engine(config)
+        engine.initialize(train, vocab, mesh=mesh)
+        start_iter = 0
+
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
+
+    for it in range(start_iter, config.training_iterations):
+        t0 = time.time()
+        ll = engine.learning()
+        dt = time.time() - t0
+        metrics.log(
+            event="iteration",
+            iteration=it + 1,
+            seconds=round(dt, 3),
+            log_likelihood=ll,
+            docs_per_sec=round(train.num_docs / max(dt, 1e-9), 2),
+        )
+        snap = config.snapshot_interval
+        if snap > 0 and (it + 1) % snap == 0 and is_host_zero():
+            engine.export_beta(
+                os.path.join(run_dir, f"exp_beta-{it + 1}"), top_k=50
+            )
+            engine.save(os.path.join(run_dir, f"model-{it + 1}"))
+            if test is not None:
+                metrics.log(
+                    event="heldout",
+                    iteration=it + 1,
+                    perplexity=round(engine.perplexity(test), 4),
+                )
+
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+
+    n = config.training_iterations
+    if is_host_zero():
+        engine.export_beta(os.path.join(run_dir, f"exp_beta-{n}"), top_k=50)
+        engine.save(os.path.join(run_dir, f"model-{n}"))
+        if test is not None:
+            metrics.log(
+                event="final",
+                perplexity=round(engine.perplexity(test), 4),
+                run_dir=run_dir,
+            )
+    metrics.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,256 @@
+"""Shared inferencer base.
+
+The reference's ``class Inferencer`` (upstream:inferencer.py [UNVERIFIED],
+SURVEY.md section 2.1 row 3) holds the iteration counter, topic counts,
+alpha/eta vectors, vocabulary indexing, and export helpers; engines
+subclass it.  We keep that public surface — ``learning()``,
+``inference()``, ``export_beta()``, ``_counter`` — but the mutable NumPy
+state becomes an immutable JAX pytree (``LDAState``) threaded through
+jitted step functions, and checkpointing serialises that pytree instead of
+pickling the object graph (SURVEY.md section 5 "Checkpoint / resume").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pylda_tpu.corpus.corpus import Corpus
+from pylda_tpu.corpus.vocabulary import Vocabulary
+from pylda_tpu.utils.config import LDAConfig
+
+
+class LDAState(NamedTuple):
+    """Global model state — the only cross-iteration device state.
+
+    Deliberately tiny (K*V + K + V + scalars): this is what makes elastic
+    resume on a different chip count trivial (SURVEY.md section 5 "Failure
+    detection") — re-shard lam on load and go.
+    """
+
+    lam: jax.Array  # [K, V] word-topic variational Dirichlet
+    alpha: jax.Array  # [K] doc-topic Dirichlet hyperparameter
+    eta: jax.Array  # [V] word-topic Dirichlet hyperparameter
+    step: jax.Array  # i32 iteration counter
+    key: jax.Array  # PRNG key
+
+
+class Inferencer:
+    """Base class for all inference engines."""
+
+    def __init__(self, config: LDAConfig):
+        self._config = config.validate()
+        self._corpus: Optional[Corpus] = None
+        self._vocab: Optional[Vocabulary] = None
+        self._state: Optional[LDAState] = None
+        self._mesh = None
+        self._dtype = jnp.dtype(config.dtype)
+
+    # -- reference-parity accessors --------------------------------------------
+
+    @property
+    def _counter(self) -> int:
+        return 0 if self._state is None else int(self._state.step)
+
+    @property
+    def _number_of_topics(self) -> int:
+        return self._config.number_of_topics
+
+    @property
+    def _number_of_types(self) -> int:
+        return 0 if self._vocab is None else len(self._vocab)
+
+    @property
+    def _number_of_documents(self) -> int:
+        return 0 if self._corpus is None else self._corpus.num_docs
+
+    @property
+    def state(self) -> LDAState:
+        assert self._state is not None, "call initialize() first"
+        return self._state
+
+    @property
+    def config(self) -> LDAConfig:
+        return self._config
+
+    # -- lifecycle ----------------------------------------------------------------
+
+    def initialize(
+        self,
+        corpus: Corpus,
+        vocab: Optional[Vocabulary] = None,
+        lam_init: Optional[np.ndarray] = None,
+        mesh=None,
+    ) -> None:
+        """Build state + device batches (reference's ``_initialize``).
+
+        ``mesh``: optional jax.sharding.Mesh — documents shard over its
+        "data" axis and (if config.shard_vocab) lambda over "model"
+        (SURVEY.md section 2.2; wiring in pylda_tpu.parallel.mesh)."""
+        cfg = self._config
+        self._corpus = corpus
+        self._vocab = vocab if vocab is not None else corpus.vocab
+        self._mesh = mesh
+        if mesh is not None and cfg.doc_pad_multiple % mesh.shape["data"]:
+            raise ValueError(
+                "doc_pad_multiple must be divisible by the data-axis size"
+            )
+        K = cfg.number_of_topics
+        V = len(self._vocab)
+        alpha = jnp.full((K,), cfg.resolved_alpha(), dtype=self._dtype)
+        eta = jnp.full((V,), cfg.resolved_eta(V), dtype=self._dtype)
+        key = jax.random.PRNGKey(cfg.seed)
+        key, sub = jax.random.split(key)
+        if lam_init is not None:
+            lam = jnp.asarray(lam_init, dtype=self._dtype)
+            assert lam.shape == (K, V)
+        else:
+            # Reference-style init: lambda ~ Gamma(100, 0.01) (SURVEY.md 3.1).
+            lam = (
+                jax.random.gamma(sub, 100.0, (K, V), dtype=self._dtype) * 0.01
+            )
+        self._state = LDAState(
+            lam=lam,
+            alpha=alpha,
+            eta=eta,
+            step=jnp.int32(0),
+            key=key,
+        )
+        if mesh is not None:
+            from pylda_tpu.parallel.mesh import shard_state
+
+            self._state = shard_state(self._state, mesh, cfg.shard_vocab)
+        self._prepare(corpus)
+
+    # reference-compatible alias
+    _initialize = initialize
+
+    def _prepare(self, corpus: Corpus) -> None:
+        """Engine-specific device batch construction."""
+        raise NotImplementedError
+
+    def _maybe_shard(self, batches):
+        """Document-shard host batches when running on a mesh."""
+        if self._mesh is None:
+            return batches
+        from pylda_tpu.parallel.mesh import shard_batch
+
+        return [shard_batch(b, self._mesh) for b in batches]
+
+    def learning(self) -> float:
+        """One training iteration; returns the training objective."""
+        raise NotImplementedError
+
+    def inference(self, test_corpus: Corpus) -> Tuple[float, np.ndarray]:
+        """Held-out evaluation with global state frozen; returns
+        (log likelihood bound, per-doc gamma [D_test, K])."""
+        raise NotImplementedError
+
+    def perplexity(self, test_corpus: Corpus) -> float:
+        """Per-word held-out perplexity (SURVEY.md section 3.4)."""
+        ll, _ = self.inference(test_corpus)
+        return float(np.exp(-ll / max(1, test_corpus.num_tokens)))
+
+    # -- topics --------------------------------------------------------------------
+
+    def topic_word_distribution(self) -> np.ndarray:
+        """Normalised topic-word matrix E[beta] [K, V] (engine-specific
+        estimator; default: variational mean lambda_kv / sum_v lambda_kv)."""
+        lam = np.asarray(self.state.lam, dtype=np.float64)
+        return lam / lam.sum(axis=1, keepdims=True)
+
+    def export_beta(self, path: str, top_k: int = 50) -> None:
+        """Write the reference's exp_beta format (SURVEY.md section 3.5):
+        per topic a ``==========\\t<k>\\t==========`` header, then the top
+        ``top_k`` types by descending p(w|k), one per line."""
+        beta = self.topic_word_distribution()
+        assert self._vocab is not None
+        with open(path, "w", encoding="utf-8") as f:
+            for k in range(beta.shape[0]):
+                f.write(f"==========\t{k}\t==========\n")
+                order = np.argsort(-beta[k])[:top_k]
+                for v in order:
+                    f.write(f"{self._vocab[int(v)]}\t{beta[k, v]:.10g}\n")
+
+    # -- checkpoint / resume ---------------------------------------------------------
+
+    def _extra_state(self) -> dict:
+        """Engine-specific arrays to persist (e.g. Gibbs count tables)."""
+        return {}
+
+    def _load_extra_state(self, blobs: dict) -> None:
+        pass
+
+    def save(self, path: str) -> None:
+        """Serialise (state pytree, vocab, config) — the sharding-aware
+        analog of the reference's ``cPickle.dump(engine, model-<N>)``."""
+        st = self.state
+        blobs = {
+            "lam": np.asarray(st.lam),
+            "alpha": np.asarray(st.alpha),
+            "eta": np.asarray(st.eta),
+            "step": np.asarray(st.step),
+            "key": np.asarray(st.key),
+            "vocab": np.asarray(self._vocab.types if self._vocab else []),
+        }
+        blobs.update(
+            {f"extra_{k}": v for k, v in self._extra_state().items()}
+        )
+        meta = {
+            "config": {
+                k: (list(v) if isinstance(v, tuple) else v)
+                for k, v in vars(self._config).items()
+            },
+            "engine": type(self).__name__,
+            "format_version": 1,
+        }
+        blobs["meta_json"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "wb") as f:
+            np.savez(f, **blobs)
+
+    @staticmethod
+    def load(path: str, corpus: Optional[Corpus] = None) -> "Inferencer":
+        """Restore an engine from a ``model-<N>`` checkpoint.
+
+        If ``corpus`` is given the engine is fully re-initialised for
+        continued training; otherwise only inference/export are available.
+        """
+        from pylda_tpu import models as _models
+
+        with open(path, "rb") as f:
+            blobs = dict(np.load(f, allow_pickle=False))
+        meta = json.loads(bytes(blobs.pop("meta_json").tobytes()).decode())
+        cfg_d = meta["config"]
+        cfg_d["bucket_sizes"] = tuple(cfg_d.get("bucket_sizes") or ())
+        if cfg_d.get("mesh_shape"):
+            cfg_d["mesh_shape"] = tuple(cfg_d["mesh_shape"])
+        config = LDAConfig(**cfg_d)
+        engine = _models.ENGINES[config.inference_mode](config)
+        vocab = Vocabulary(str(t) for t in blobs.pop("vocab").tolist())
+        engine._vocab = vocab
+        engine._state = LDAState(
+            lam=jnp.asarray(blobs["lam"]),
+            alpha=jnp.asarray(blobs["alpha"]),
+            eta=jnp.asarray(blobs["eta"]),
+            step=jnp.int32(blobs["step"]),
+            key=jnp.asarray(blobs["key"]),
+        )
+        engine._load_extra_state(
+            {
+                k[len("extra_") :]: v
+                for k, v in blobs.items()
+                if k.startswith("extra_")
+            }
+        )
+        if corpus is not None:
+            engine._corpus = corpus
+            engine._prepare(corpus)
+        return engine

@@ -1,0 +1,294 @@
+"""Collapsed Gibbs sampling engine.
+
+Counterpart of the reference's ``class MonteCarlo`` (upstream:
+monte_carlo.py [UNVERIFIED]; SURVEY.md sections 2.1 row 5, 3.2, 8.2):
+persistent per-token topic assignments z, count tables (n_dk, n_kv, n_k),
+one full sweep per ``learning()`` call, the Griffiths–Steyvers joint log
+likelihood as the training objective, and Wallach slice-sampled
+hyperparameter optimization every ``hyper_parameter_optimize_interval``
+iterations.
+
+TPU-native approximation (SURVEY.md section 7.1 "Gibbs sequentiality"):
+the reference's chain is sequential across *all* tokens of the corpus; a
+data-parallel device cannot honour cross-document sequential dependence.
+We freeze the topic-word tables at sweep start (the Newman et al. 2009
+AD-LDA scheme with one synchronisation per sweep), keep within-document
+n_dk updates exact and sequential, and rebuild (n_kv, n_k) from z after
+every sweep.  Parity with the reference chain is therefore statistical —
+perplexity and top-word lists within Monte-Carlo tolerance
+(BASELINE.json:5) — not sample-for-sample.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import gammaln
+
+from pylda_tpu.corpus.corpus import Corpus, SequenceBucket
+from pylda_tpu.models.base import Inferencer, LDAState
+from pylda_tpu.ops.sampling import (
+    random_assignments,
+    sample_doc_topics,
+    sequence_token_score,
+)
+
+
+@jax.jit
+def _log_phi_hat(n_kv, beta):
+    """log[(n_kv + beta_v) / (n_k + sum beta)] (SURVEY.md section 3.5)."""
+    n_k = n_kv.sum(axis=1, keepdims=True)
+    return jnp.log(n_kv + beta[None, :]) - jnp.log(n_k + beta.sum())
+
+
+@jax.jit
+def _topic_side_ll(n_kv, beta):
+    """K[logG(sum b) - sum logG(b)] + sum_k[sum_v logG(n_kv+b) -
+    logG(n_k + sum b)]  (SURVEY.md section 8.2)."""
+    K = n_kv.shape[0]
+    n_k = n_kv.sum(axis=1)
+    s = K * (gammaln(beta.sum()) - gammaln(beta).sum())
+    s += gammaln(n_kv + beta[None, :]).sum()
+    s -= gammaln(n_k + beta.sum()).sum()
+    return s
+
+
+@jax.jit
+def _doc_side_ll(ndk, mask, alpha):
+    """D[logG(sum a) - sum logG(a)] + sum_d[...] with padded rows inert."""
+    n_d = ndk.sum(axis=1)
+    per_doc = (
+        gammaln(ndk + alpha[None, :]).sum(axis=1)
+        - gammaln(n_d + alpha.sum())
+        + gammaln(alpha.sum())
+        - gammaln(alpha).sum()
+    )
+    return (mask * per_doc).sum()
+
+
+class MonteCarlo(Inferencer):
+    """Collapsed Gibbs with per-sweep table synchronisation."""
+
+    def _prepare(self, corpus: Corpus) -> None:
+        cfg = self._config
+        self._buckets: List[SequenceBucket] = self._maybe_shard(
+            corpus.to_sequence_buckets(
+                bucket_sizes=cfg.bucket_sizes,
+                doc_pad_multiple=cfg.doc_pad_multiple,
+            )
+        )
+        K, V = cfg.number_of_topics, len(self._vocab)
+        key = jax.random.fold_in(self.state.key, 0x51BB5)
+        self._z: List[jnp.ndarray] = []
+        self._ndk: List[jnp.ndarray] = []
+        n_kv = jnp.zeros((K, V), dtype=self._dtype)
+        for i, b in enumerate(self._buckets):
+            z = random_assignments(
+                jax.random.fold_in(key, i), jnp.asarray(b.tokens), K
+            )
+            self._z.append(z)
+            hot = jax.nn.one_hot(z, K, dtype=self._dtype) * jnp.asarray(
+                b.token_mask
+            )[:, :, None]
+            self._ndk.append(hot.sum(axis=1))
+            flat = hot.reshape(-1, K)
+            n_kv = n_kv + jax.ops.segment_sum(
+                flat, jnp.asarray(b.tokens).reshape(-1), num_segments=V
+            ).T
+        self._n_kv = n_kv
+        # Checkpoint resume: re-apply persisted z / count tables if present.
+        if self._prepare_from_restore():
+            self._n_kv = jnp.asarray(self._z_restore["n_kv"])
+
+    # -- training -----------------------------------------------------------------
+
+    def learning(self) -> float:
+        """One full Gibbs sweep over the corpus; returns joint log p(w,z)."""
+        st = self.state
+        cfg = self._config
+        K, V = cfg.number_of_topics, len(self._vocab)
+        key, sub = jax.random.split(st.key)
+        log_tw = _log_phi_hat(self._n_kv, st.eta)
+        n_kv_new = jnp.zeros_like(self._n_kv)
+        for i, b in enumerate(self._buckets):
+            _gamma, counts, z_new, ndk = sample_doc_topics(
+                jnp.asarray(b.tokens),
+                jnp.asarray(b.token_mask),
+                log_tw,
+                st.alpha,
+                self._z[i],
+                jax.random.fold_in(sub, i),
+                num_topics=K,
+                num_types=V,
+                burn_in=0,
+                num_samples=1,
+            )
+            self._z[i] = z_new
+            self._ndk[i] = ndk
+            n_kv_new = n_kv_new + counts
+        self._n_kv = n_kv_new
+
+        step_new = int(st.step) + 1
+        self._state = LDAState(
+            lam=st.lam, alpha=st.alpha, eta=st.eta,
+            step=jnp.int32(step_new), key=key,
+        )
+        interval = cfg.hyper_parameter_optimize_interval
+        if interval > 0 and step_new % interval == 0:
+            self.optimize_hyperparameters(
+                samples=cfg.slice_samples, step=cfg.slice_step
+            )
+        return self.compute_likelihood()
+
+    def compute_likelihood(
+        self, alpha_scalar: float | None = None, beta_scalar: float | None = None
+    ) -> float:
+        """Griffiths–Steyvers joint log likelihood at the current counts."""
+        st = self.state
+        alpha = (
+            st.alpha
+            if alpha_scalar is None
+            else jnp.full_like(st.alpha, alpha_scalar)
+        )
+        beta = (
+            st.eta
+            if beta_scalar is None
+            else jnp.full_like(st.eta, beta_scalar)
+        )
+        s = _topic_side_ll(self._n_kv, beta)
+        for b, ndk in zip(self._buckets, self._ndk):
+            s = s + _doc_side_ll(ndk, jnp.asarray(b.mask), alpha)
+        return float(s)
+
+    # -- Wallach slice sampler (SURVEY.md section 8.2) ----------------------------
+
+    def optimize_hyperparameters(
+        self, samples: int = 5, step: float = 3.0
+    ) -> None:
+        """Slice sampling on (log alpha, log beta) scalars; host-side
+        control loop, device-side likelihood evaluation."""
+        st = self.state
+        rng = np.random.default_rng(int(jax.random.randint(
+            jax.random.fold_in(st.key, 0x511CE), (), 0, 2**31 - 1
+        )))
+        x0 = np.array(
+            [math.log(float(st.alpha.mean())), math.log(float(st.eta.mean()))]
+        )
+        for _ in range(samples):
+            ll0 = self.compute_likelihood(math.exp(x0[0]), math.exp(x0[1]))
+            log_u = ll0 + math.log(rng.random())
+            lo = x0 - step * rng.random(2)
+            hi = lo + step
+            while True:
+                x1 = lo + rng.random(2) * (hi - lo)
+                ll1 = self.compute_likelihood(math.exp(x1[0]), math.exp(x1[1]))
+                if ll1 > log_u:
+                    x0 = x1
+                    break
+                lo = np.where(x1 < x0, x1, lo)
+                hi = np.where(x1 >= x0, x1, hi)
+        self._state = self._state._replace(
+            alpha=jnp.full_like(st.alpha, math.exp(x0[0])),
+            eta=jnp.full_like(st.eta, math.exp(x0[1])),
+        )
+
+    # -- topics / held-out ----------------------------------------------------------
+
+    def topic_word_distribution(self) -> np.ndarray:
+        """(n_kv + beta) / (n_k + sum beta) point estimate (SURVEY.md 3.5)."""
+        st = self.state
+        n_kv = np.asarray(self._n_kv, dtype=np.float64)
+        beta = np.asarray(st.eta, dtype=np.float64)
+        return (n_kv + beta[None, :]) / (
+            n_kv.sum(axis=1, keepdims=True) + beta.sum()
+        )
+
+    def inference(self, test_corpus: Corpus) -> Tuple[float, np.ndarray]:
+        """Sample test-doc topics against frozen topic counts, then score
+        tokens with the point-estimate predictive p(w|d) = sum_k
+        theta_hat phi_hat (documented convention; the reference's exact
+        held-out recipe is [UNVERIFIED])."""
+        st = self.state
+        cfg = self._config
+        K, V = cfg.number_of_topics, len(self._vocab)
+        log_tw = _log_phi_hat(self._n_kv, st.eta)
+        buckets = test_corpus.to_sequence_buckets(
+            bucket_sizes=cfg.bucket_sizes,
+            doc_pad_multiple=cfg.doc_pad_multiple,
+        )
+        key = jax.random.fold_in(st.key, 0x7E57)
+        ll = 0.0
+        gamma = np.tile(
+            np.asarray(st.alpha)[None, :], (test_corpus.num_docs, 1)
+        )
+        for i, b in enumerate(buckets):
+            sub = jax.random.fold_in(key, i)
+            z0 = random_assignments(
+                jax.random.fold_in(sub, 1), jnp.asarray(b.tokens), K
+            )
+            gamma_b, _ss, _z, ndk = sample_doc_topics(
+                jnp.asarray(b.tokens),
+                jnp.asarray(b.token_mask),
+                log_tw,
+                st.alpha,
+                z0,
+                jax.random.fold_in(sub, 2),
+                num_topics=K,
+                num_types=V,
+                burn_in=cfg.burn_in_sweeps,
+                num_samples=cfg.number_of_samples,
+            )
+            theta_hat = gamma_b / gamma_b.sum(axis=1, keepdims=True)
+            ll += float(
+                sequence_token_score(
+                    jnp.asarray(b.tokens),
+                    jnp.asarray(b.token_mask),
+                    jnp.log(theta_hat),
+                    log_tw,
+                )
+            )
+            g_np = np.asarray(gamma_b)
+            for row, d in enumerate(b.doc_ids):
+                if d >= 0:
+                    gamma[d] = g_np[row]
+        return ll, gamma
+
+    # -- checkpoint extras ------------------------------------------------------------
+
+    def _extra_state(self) -> dict:
+        d = {"n_kv": np.asarray(self._n_kv)}
+        for i, z in enumerate(self._z):
+            d[f"z_{i}"] = np.asarray(z)
+            d[f"ndk_{i}"] = np.asarray(self._ndk[i])
+        return d
+
+    def _load_extra_state(self, blobs: dict) -> None:
+        if "n_kv" in blobs:
+            self._n_kv = jnp.asarray(blobs["n_kv"])
+            self._z_restore = blobs  # re-applied in _prepare if needed
+
+    def _prepare_from_restore(self) -> bool:
+        blobs = getattr(self, "_z_restore", None)
+        if not blobs:
+            return False
+        zs = sorted(
+            (k for k in blobs if k.startswith("z_")),
+            key=lambda s: int(s.split("_")[1]),
+        )
+        if len(zs) != len(self._buckets):
+            return False
+        if any(
+            blobs[k].shape != self._buckets[i].tokens.shape
+            for i, k in enumerate(zs)
+        ):
+            return False
+        self._z = [jnp.asarray(blobs[k]) for k in zs]
+        self._ndk = [
+            jnp.asarray(blobs[f"ndk_{i}"]) for i in range(len(zs))
+        ]
+        return True

@@ -1,0 +1,91 @@
+"""Hybrid VB/sampling engine (Mimno, Hoffman & Blei 2012).
+
+Counterpart of the reference's ``class Hybrid`` (upstream:hybrid.py
+[UNVERIFIED]; SURVEY.md sections 2.1 row 6, 3.3, 8.3): the global
+word-topic state stays variational (lambda, same M-step and ELBO as VB),
+but the per-document local step replaces the gamma/phi fixed point with
+collapsed Gibbs sweeps over the document's tokens using exp(E[log beta])
+as the frozen topic-word factor.  phi sufficient statistics are averaged
+over ``number_of_samples`` kept sweeps after ``burn_in_sweeps`` discards.
+
+TPU-native form: all documents of a bucket sweep in lockstep with batched
+categorical draws (``pylda_tpu.ops.sampling``) — this is exactly the path
+BASELINE.json:5 mandates for the sampling engines.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from pylda_tpu.corpus.corpus import Corpus, SequenceBucket
+from pylda_tpu.models.vb import VariationalBayes
+from pylda_tpu.ops.dirichlet import dirichlet_expectation, theta_elbo
+from pylda_tpu.ops.sampling import (
+    random_assignments,
+    sample_doc_topics,
+    sequence_token_score,
+)
+
+
+class Hybrid(VariationalBayes):
+    """VB global step + within-doc Gibbs local step."""
+
+    def _build_batches(self, corpus: Corpus) -> List[SequenceBucket]:
+        cfg = self._config
+        return self._maybe_shard(
+            corpus.to_sequence_buckets(
+                bucket_sizes=cfg.bucket_sizes,
+                doc_pad_multiple=cfg.doc_pad_multiple,
+            )
+        )
+
+    def _run_estep(self, batches, lam, alpha, key):
+        """Sampled local step over every sequence bucket.
+
+        Same return contract as the VB E-step: (gammas, sstats,
+        token_score, theta_score, elog_sum)."""
+        cfg = self._config
+        K = cfg.number_of_topics
+        V = len(self._vocab)
+        elog_beta = dirichlet_expectation(lam)  # frozen within the iteration
+        sstats = None
+        token_score = jnp.zeros((), dtype=self._dtype)
+        theta_score = jnp.zeros((), dtype=self._dtype)
+        elog_sum = jnp.zeros((K,), dtype=self._dtype)
+        gammas = []
+        for i, b in enumerate(batches):
+            sub = jax.random.fold_in(key, i)
+            z0 = random_assignments(
+                jax.random.fold_in(sub, 1), jnp.asarray(b.tokens), K
+            )
+            gamma_b, ss, _z, _ndk = sample_doc_topics(
+                jnp.asarray(b.tokens),
+                jnp.asarray(b.token_mask),
+                elog_beta,
+                alpha,
+                z0,
+                jax.random.fold_in(sub, 2),
+                num_topics=K,
+                num_types=V,
+                burn_in=cfg.burn_in_sweeps,
+                num_samples=cfg.number_of_samples,
+            )
+            elog_theta = dirichlet_expectation(gamma_b)
+            token_score = token_score + sequence_token_score(
+                jnp.asarray(b.tokens),
+                jnp.asarray(b.token_mask),
+                elog_theta,
+                elog_beta,
+            )
+            theta_score = theta_score + theta_elbo(
+                gamma_b, alpha, jnp.asarray(b.mask)
+            )
+            elog_sum = elog_sum + (
+                elog_theta * jnp.asarray(b.mask)[:, None]
+            ).sum(axis=0)
+            sstats = ss if sstats is None else sstats + ss
+            gammas.append(gamma_b)
+        return gammas, sstats, token_score, theta_score, elog_sum

@@ -1,0 +1,111 @@
+"""Batch-layout policy shared by the VB-family engines.
+
+Decides dense vs ragged per the vocabulary size and splits batches into
+bounded-memory chunks: the ragged E-step materialises a gathered
+[rows, T, K] block (SURVEY.md section 7.1), so rows per chunk are capped by
+a VMEM/HBM budget.  Chunks of one bucket share a shape so XLA compiles each
+bucket width once.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from pylda_tpu.corpus.corpus import Corpus, DenseBatch, RaggedBucket
+from pylda_tpu.utils.config import LDAConfig
+
+VBBatch = Union[DenseBatch, RaggedBucket]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _split_rows(n_rows: int, chunk: int, pad_multiple: int) -> List[int]:
+    chunk = max(pad_multiple, (chunk // pad_multiple) * pad_multiple)
+    sizes = []
+    done = 0
+    while done < n_rows:
+        sizes.append(min(chunk, _round_up(n_rows - done, pad_multiple)))
+        done += sizes[-1]
+    return sizes
+
+
+def build_vb_batches(
+    corpus: Corpus,
+    config: LDAConfig,
+    doc_indices: Optional[Sequence[int]] = None,
+    pad_docs_to: Optional[int] = None,
+    memory_budget_mb: int = 512,
+) -> List[VBBatch]:
+    """Materialise the corpus (or a subset) as E-step ready batches."""
+    V = corpus.num_types
+    K = config.number_of_topics
+    pad = config.doc_pad_multiple
+    out: List[VBBatch] = []
+    if V <= config.dense_vocab_threshold:
+        idx = (
+            np.arange(corpus.num_docs)
+            if doc_indices is None
+            else np.asarray(doc_indices)
+        )
+        # Rows per chunk bounded by the [rows, V] work arrays.
+        budget_rows = max(pad, int(memory_budget_mb * 1e6 / (4 * max(V, K) * 3)))
+        if pad_docs_to is not None:
+            sizes = [_round_up(pad_docs_to, pad)]
+        else:
+            sizes = _split_rows(len(idx), budget_rows, pad)
+        start = 0
+        for size in sizes:
+            sel = idx[start : start + size]
+            start += len(sel)
+            out.append(corpus.to_dense(doc_indices=sel, pad_docs_to=size))
+        return out
+
+    buckets = corpus.to_ragged_buckets(
+        bucket_sizes=config.bucket_sizes,
+        doc_pad_multiple=pad,
+        doc_indices=doc_indices,
+    )
+    for b in buckets:
+        T = b.ids.shape[1]
+        budget_rows = max(pad, int(memory_budget_mb * 1e6 / (4 * T * K * 3)))
+        rows = b.ids.shape[0]
+        if rows <= budget_rows:
+            out.append(b)
+            continue
+        for s in range(0, rows, budget_rows):
+            e = min(rows, s + budget_rows)
+            out.append(
+                RaggedBucket(
+                    ids=b.ids[s:e],
+                    cnts=b.cnts[s:e],
+                    mask=b.mask[s:e],
+                    doc_ids=b.doc_ids[s:e],
+                )
+            )
+    return out
+
+
+def assemble_gamma(
+    batches: List[VBBatch],
+    gammas: List[np.ndarray],
+    num_docs: int,
+    alpha: np.ndarray,
+) -> np.ndarray:
+    """Stitch per-batch gamma rows back into corpus document order.
+
+    Oversized documents split into several chunk rows (same doc id)
+    recombine additively: gamma_doc = alpha + sum_chunks (gamma_chunk -
+    alpha), exact because the gamma update is additive over a document's
+    token set at a fixed phi.
+    """
+    K = alpha.shape[0]
+    out = np.tile(alpha[None, :], (num_docs, 1))
+    for b, g in zip(batches, gammas):
+        for row, d in enumerate(b.doc_ids):
+            if d >= 0:
+                out[d] += g[row] - alpha
+    return out

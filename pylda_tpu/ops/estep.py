@@ -1,0 +1,149 @@
+"""Batched variational E-step kernels (JAX/XLA).
+
+This replaces the reference's ~95%-of-runtime hot loop — a per-document
+Python loop around a ~50-iteration digamma fixed point
+(upstream:variational_bayes.py e_step [UNVERIFIED], SURVEY.md section 3.1)
+— with the exp-domain formulation of SURVEY.md section 7.1 in which phi is
+never materialised and each fixed-point sweep is two MXU matmuls (dense
+layout) or two batched contractions against a gathered [D, T, K] block
+(ragged layout).
+
+Convergence: the reference early-exits each document at
+mean|dgamma| < 1e-6.  Data-dependent per-document exits don't map to XLA's
+static traces, so we run a ``lax.while_loop`` over whole-batch sweeps and
+stop when the *worst* document's mean|dgamma| falls below threshold (or at
+``inner_iterations``).  Converged documents keep iterating but are already
+at their fixed point, so extra sweeps are no-ops numerically; parity is
+judged on perplexity, not iteration counts (SURVEY.md section 7.3).
+
+Returns per batch: (gamma, sstats, token_score, sweeps_used) where
+``token_score = sum_dv c_dv log phinorm_dv`` is the
+E[log p(w|theta,beta)] - E[log q(z)] part of the bound at the optimal phi.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pylda_tpu.ops.dirichlet import exp_dirichlet_expectation
+
+
+@functools.partial(
+    jax.jit, static_argnames=("inner_iterations", "convergence_threshold", "eps")
+)
+def estep_dense(
+    counts: jnp.ndarray,  # [D, V] float
+    gamma_init: jnp.ndarray,  # [D, K]
+    exp_elog_beta: jnp.ndarray,  # [K, V]
+    alpha: jnp.ndarray,  # [K]
+    inner_iterations: int = 50,
+    convergence_threshold: float = 1e-5,
+    eps: float = 1e-30,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense doc-term E-step: pure matmuls on the MXU."""
+    K = gamma_init.shape[-1]
+
+    def sweep(gamma, exp_etheta):
+        phinorm = exp_etheta @ exp_elog_beta + eps  # [D, V]
+        ratio = counts / phinorm
+        gamma_new = alpha[None, :] + exp_etheta * (ratio @ exp_elog_beta.T)
+        return gamma_new
+
+    def cond(carry):
+        i, _gamma, _exp_etheta, maxchange = carry
+        return jnp.logical_and(
+            i < inner_iterations, maxchange > convergence_threshold
+        )
+
+    def body(carry):
+        i, gamma, exp_etheta, _ = carry
+        gamma_new = sweep(gamma, exp_etheta)
+        maxchange = jnp.abs(gamma_new - gamma).mean(axis=-1).max()
+        return i + 1, gamma_new, exp_dirichlet_expectation(gamma_new), maxchange
+
+    exp_etheta0 = exp_dirichlet_expectation(gamma_init)
+    i, gamma, exp_etheta, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), gamma_init, exp_etheta0, jnp.inf)
+    )
+
+    phinorm = exp_etheta @ exp_elog_beta + eps
+    ratio = counts / phinorm
+    # sstats[k, v] = sum_d c_dv phi_dvk = expElogbeta_kv * sum_d
+    # expEtheta_dk ratio_dv  — the scatter-free matmul form (SURVEY.md 7.1).
+    sstats = exp_elog_beta * (exp_etheta.T @ ratio)
+    token_score = (counts * jnp.log(phinorm)).sum()
+    del K
+    return gamma, sstats, token_score, i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_types", "inner_iterations", "convergence_threshold", "eps")
+)
+def estep_ragged(
+    ids: jnp.ndarray,  # [D, T] int32 (0 on padded slots)
+    cnts: jnp.ndarray,  # [D, T] float (0 on padded slots)
+    gamma_init: jnp.ndarray,  # [D, K]
+    exp_elog_beta: jnp.ndarray,  # [K, V]
+    alpha: jnp.ndarray,  # [K]
+    num_types: int,
+    inner_iterations: int = 50,
+    convergence_threshold: float = 1e-5,
+    eps: float = 1e-30,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Ragged (ids, counts) E-step for large vocabularies.
+
+    Gathers the per-document topic-word block B = expElogbeta.T[ids]
+    ([D, T, K]) once per call — lambda is fixed for the whole batch — then
+    every fixed-point sweep is two batched contractions against B.
+    Sufficient statistics scatter back via segment_sum over token ids.
+    Padded token slots (count 0) are inert everywhere.
+    """
+    D, T = ids.shape
+    K = gamma_init.shape[-1]
+    B = exp_elog_beta.T[ids]  # [D, T, K]
+
+    acc_dtype = jnp.promote_types(B.dtype, jnp.float32)
+
+    def phinorm_of(exp_etheta):
+        return (
+            jnp.einsum(
+                "dk,dtk->dt", exp_etheta, B, preferred_element_type=acc_dtype
+            )
+            + eps
+        )
+
+    def cond(carry):
+        i, _gamma, _exp_etheta, maxchange = carry
+        return jnp.logical_and(
+            i < inner_iterations, maxchange > convergence_threshold
+        )
+
+    def body(carry):
+        i, gamma, exp_etheta, _ = carry
+        phinorm = phinorm_of(exp_etheta)
+        gamma_new = alpha[None, :] + exp_etheta * jnp.einsum(
+            "dt,dtk->dk", cnts / phinorm, B, preferred_element_type=acc_dtype
+        )
+        maxchange = jnp.abs(gamma_new - gamma).mean(axis=-1).max()
+        return i + 1, gamma_new, exp_dirichlet_expectation(gamma_new), maxchange
+
+    exp_etheta0 = exp_dirichlet_expectation(gamma_init)
+    i, gamma, exp_etheta, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), gamma_init, exp_etheta0, jnp.inf)
+    )
+
+    phinorm = phinorm_of(exp_etheta)
+    ratio = cnts / phinorm  # [D, T]
+    # W[d, t, k] = c phi (unnormalised phi times count); scatter over v.
+    W = exp_etheta[:, None, :] * B * ratio[:, :, None]
+    sstats = (
+        jax.ops.segment_sum(
+            W.reshape(D * T, K), ids.reshape(-1), num_segments=num_types
+        )
+    ).T  # [K, V]
+    token_score = (cnts * jnp.log(phinorm)).sum()
+    return gamma, sstats, token_score, i

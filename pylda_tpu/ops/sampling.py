@@ -1,0 +1,145 @@
+"""Batched within-document Gibbs sampling (JAX/XLA).
+
+The reference resamples token topics one at a time in Python
+(upstream:monte_carlo.py / hybrid.py [UNVERIFIED]; SURVEY.md sections 3.2,
+3.3).  Per-token sequential dependence *across documents* cannot be batched,
+but the device-idiomatic formulation (SURVEY.md section 7.1;
+BASELINE.json:5 "batched categorical draws on device") is:
+
+- freeze the topic-word factor for the whole sweep (hybrid: exp E[log beta]
+  from lambda, per Mimno/Hoffman/Blei 2012; Gibbs: the count-table point
+  estimate frozen at sweep start, the Newman et al. 2009 AD-LDA-style
+  approximation — documented, parity judged on perplexity/topics);
+- every document then sweeps its own tokens independently: a ``lax.scan``
+  over token positions, with all documents of a bucket advancing in
+  lockstep and drawing one [D]-sized batched categorical per position.
+
+Within a document the scan is exact sequential Gibbs: the doc-topic counts
+n_dk are decremented/incremented per position inside the carry.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_topics", "num_types", "burn_in", "num_samples")
+)
+def sample_doc_topics(
+    tokens: jnp.ndarray,  # [D, L] int32 token ids (0 on padding)
+    token_mask: jnp.ndarray,  # [D, L] float (0 on padding)
+    log_topic_word: jnp.ndarray,  # [K, V] log-domain topic-word factor
+    alpha: jnp.ndarray,  # [K]
+    z_init: jnp.ndarray,  # [D, L] int32 initial assignments
+    key: jnp.ndarray,
+    num_topics: int,
+    num_types: int,
+    burn_in: int = 5,
+    num_samples: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run burn_in + num_samples sweeps; average stats over kept sweeps.
+
+    Returns (gamma_bar [D, K], sstats [K, V], z_final [D, L],
+    ndk_final [D, K]) where gamma_bar = alpha + mean_kept(n_dk) and
+    sstats[k, v] = mean_kept(#{tokens w=v assigned to k}).
+    """
+    D, L = tokens.shape
+    K = num_topics
+    dtype = log_topic_word.dtype
+
+    # Column-major views so the position scan slices its own xs.
+    tok_c = tokens.T  # [L, D]
+    mask_c = token_mask.T  # [L, D]
+
+    def ndk_of(z):
+        return (jax.nn.one_hot(z, K, dtype=dtype) * token_mask[:, :, None]).sum(
+            axis=1
+        )
+
+    def one_sweep(z, ndk, sweep_key):
+        keys = jax.random.split(sweep_key, L)
+
+        def pos_step(carry, xs):
+            ndk = carry
+            z_t, w_t, m_t, k_t = xs  # [D], [D], [D], key
+            hot_old = jax.nn.one_hot(z_t, K, dtype=dtype) * m_t[:, None]
+            ndk = ndk - hot_old
+            logits = jnp.log(ndk + alpha[None, :]) + log_topic_word.T[w_t]
+            z_new = jax.random.categorical(k_t, logits, axis=-1)
+            z_new = jnp.where(m_t > 0, z_new, z_t)
+            ndk = ndk + jax.nn.one_hot(z_new, K, dtype=dtype) * m_t[:, None]
+            return ndk, z_new
+
+        ndk, z_cols = jax.lax.scan(pos_step, ndk, (z_c(z), tok_c, mask_c, keys))
+        return z_cols.T, ndk
+
+    def z_c(z):
+        return z.T  # [L, D]
+
+    def assignment_counts(z):
+        """sstats contribution of one kept sweep: [K, V] counts."""
+        hot = jax.nn.one_hot(z, K, dtype=dtype) * token_mask[:, :, None]
+        flat = hot.reshape(D * L, K)
+        return jax.ops.segment_sum(
+            flat, tokens.reshape(-1), num_segments=num_types
+        ).T
+
+    def sweep_step(carry, s):
+        z, ndk, acc_ndk, acc_kv = carry
+        z, ndk = one_sweep(z, ndk, jax.random.fold_in(key, s))
+        keep = (s >= burn_in).astype(dtype)
+        acc_ndk = acc_ndk + keep * ndk
+        acc_kv = acc_kv + keep * assignment_counts(z)
+        return (z, ndk, acc_ndk, acc_kv), None
+
+    ndk0 = ndk_of(z_init)
+    acc_ndk0 = jnp.zeros((D, K), dtype)
+    acc_kv0 = jnp.zeros((K, num_types), dtype)
+    (z, ndk, acc_ndk, acc_kv), _ = jax.lax.scan(
+        sweep_step,
+        (z_init, ndk0, acc_ndk0, acc_kv0),
+        jnp.arange(burn_in + num_samples),
+    )
+    denom = jnp.asarray(max(1, num_samples), dtype)
+    gamma_bar = alpha[None, :] + acc_ndk / denom
+    sstats = acc_kv / denom
+    return gamma_bar, sstats, z, ndk
+
+
+@functools.partial(jax.jit, static_argnames=())
+def sequence_token_score(
+    tokens: jnp.ndarray,  # [D, L]
+    token_mask: jnp.ndarray,  # [D, L]
+    elog_theta: jnp.ndarray,  # [D, K]
+    log_topic_word: jnp.ndarray,  # [K, V]
+) -> jnp.ndarray:
+    """sum_{d,t} mask * logsumexp_k(Elogtheta_dk + logbeta_k,w) — the
+    token part of the bound on the sequence layout (matches the dense/
+    ragged ``counts * log phinorm`` term)."""
+
+    def pos_step(acc, xs):
+        w_t, m_t = xs  # [D]
+        lp = jax.nn.logsumexp(
+            elog_theta + log_topic_word.T[w_t], axis=-1
+        )  # [D]
+        return acc + (m_t * lp).sum(), None
+
+    acc, _ = jax.lax.scan(
+        pos_step,
+        jnp.zeros((), elog_theta.dtype),
+        (tokens.T, token_mask.T),
+    )
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("num_topics",))
+def random_assignments(
+    key: jnp.ndarray, tokens: jnp.ndarray, num_topics: int
+) -> jnp.ndarray:
+    """Uniform-random initial z (reference init, SURVEY.md section 3.2)."""
+    return jax.random.randint(key, tokens.shape, 0, num_topics, dtype=jnp.int32)

@@ -42,7 +42,9 @@ class OracleVB:
         seed: int = 0,
         inner_iterations: int = 50,
         convergence_threshold: float = 1e-6,
+        gamma_init: str = "gamma",
     ):
+        self.gamma_init = gamma_init
         self.corpus = corpus
         self.K = num_topics
         self.V = corpus.num_types
@@ -88,7 +90,10 @@ class OracleVB:
         Elogbeta = dirichlet_expectation(self.lam)
         expElogbeta = np.exp(Elogbeta)
         sstats = np.zeros_like(self.lam)
-        gamma_out = self.rng.gamma(100.0, 0.01, size=(len(idx), self.K))
+        if self.gamma_init == "ones":
+            gamma_out = np.ones((len(idx), self.K))
+        else:
+            gamma_out = self.rng.gamma(100.0, 0.01, size=(len(idx), self.K))
         token_score = 0.0
         for row, d in enumerate(idx):
             ids, cts = corpus.doc_unique(d)

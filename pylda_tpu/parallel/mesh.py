@@ -1,0 +1,132 @@
+"""Device mesh, shardings, and multi-host bootstrap — the entire comm layer.
+
+The reference has NO distributed layer of any kind — one process, one
+NumPy heap (SURVEY.md sections 1, 2.2).  The TPU-native communication
+backend is the XLA runtime itself: we lay out a ``("data", "model")`` mesh,
+annotate arrays with ``NamedSharding``, and ``jit`` emits the psum /
+all-gather collectives over ICI/DCN (BASELINE.json:5,11; SURVEY.md section
+5 "Distributed communication backend").  There is deliberately no NCCL/MPI
+analog — this file is the whole backend.
+
+Layout (SURVEY.md section 2.2):
+- data parallelism  = document sharding: counts/ids/cnts/mask split on
+  axis "data"; each shard computes partial sufficient statistics; the
+  M-step contraction expEtheta.T @ ratio reduces over the doc axis, so
+  GSPMD inserts exactly one psum per E-step — the only collective in the
+  training step.
+- tensor parallelism = vocabulary sharding of lambda (K x V) on axis
+  "model" for configs where lambda (+ its digamma/exp workspaces)
+  pressures HBM (K=1000, V=100k, BASELINE.json:11).
+- pipeline parallelism: N/A for LDA (no layer stack) — consciously out of
+  scope, documented here per SURVEY.md section 2.2.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pylda_tpu.corpus.corpus import DenseBatch, RaggedBucket, SequenceBucket
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bootstrap (jax.distributed).  No-op when single-process
+    args are absent; each host then reads only its own document shard
+    (SURVEY.md section 7.3 "Multi-host input pipeline")."""
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_mesh(
+    shape: Optional[Tuple[int, int]] = None,
+    axis_names: Tuple[str, str] = ("data", "model"),
+    devices=None,
+) -> Mesh:
+    """Build the 2-D device mesh.  Default: all devices on "data"."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if shape is None:
+        shape = (n, 1)
+    if shape[0] * shape[1] != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+# -- sharding specs ---------------------------------------------------------------
+
+
+def batch_shardings(mesh: Mesh, batch) -> dict:
+    """PartitionSpec per field: documents split over "data", token/vocab
+    axes replicated (the E-step reduces over docs, not tokens)."""
+    if isinstance(batch, DenseBatch):
+        return {
+            "counts": P("data", None),
+            "mask": P("data"),
+            "doc_ids": P("data"),
+        }
+    if isinstance(batch, RaggedBucket):
+        return {
+            "ids": P("data", None),
+            "cnts": P("data", None),
+            "mask": P("data"),
+            "doc_ids": P("data"),
+        }
+    if isinstance(batch, SequenceBucket):
+        return {
+            "tokens": P("data", None),
+            "token_mask": P("data", None),
+            "mask": P("data"),
+            "doc_ids": P("data"),
+        }
+    raise TypeError(type(batch))
+
+
+def state_shardings(mesh: Mesh, shard_vocab: bool = False) -> dict:
+    """lambda replicated by default; vocab-sharded on "model" when the
+    K x V state pressures HBM (SURVEY.md section 2.2 "TP")."""
+    lam_spec = P(None, "model") if shard_vocab else P()
+    return {
+        "lam": lam_spec,
+        "alpha": P(),
+        "eta": P("model") if shard_vocab else P(),
+        "step": P(),
+        "key": P(),
+    }
+
+
+# -- placement helpers --------------------------------------------------------------
+
+
+def shard_batch(batch, mesh: Mesh):
+    """device_put a host batch with document sharding; returns the same
+    batch type holding sharded jax.Arrays.  The document axis must divide
+    by the "data" axis size (guaranteed by doc_pad_multiple=64 covering
+    meshes up to 64-way data parallel)."""
+    specs = batch_shardings(mesh, batch)
+    put = {
+        f: jax.device_put(getattr(batch, f), NamedSharding(mesh, spec))
+        for f, spec in specs.items()
+    }
+    return type(batch)(**put)
+
+
+def shard_state(state, mesh: Mesh, shard_vocab: bool = False):
+    """device_put an LDAState with the global-state layout."""
+    specs = state_shardings(mesh, shard_vocab)
+    return type(state)(
+        **{
+            f: jax.device_put(getattr(state, f), NamedSharding(mesh, specs[f]))
+            for f in state._fields
+        }
+    )

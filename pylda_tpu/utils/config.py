@@ -56,6 +56,10 @@ class LDAConfig:
     # (SURVEY.md section 7.3).
     inner_iterations: int = 50
     convergence_threshold: float = 1e-5
+    # Per-document gamma initialisation: "gamma" = reference-style
+    # Gamma(100, 0.01) draws (SURVEY.md 3.1); "ones" = deterministic all-ones
+    # (bitwise-reproducible runs and tight oracle-parity tests).
+    gamma_init: str = "gamma"
 
     # ----- sampling engines (SURVEY.md sections 8.2, 8.3) -----
     number_of_samples: int = 10  # kept sweeps averaged into phi-stats (hybrid)

@@ -1,0 +1,98 @@
+"""Checkpoint round-trip: save → restore → continue must match a
+continuous run (SURVEY.md section 4 item 5)."""
+
+import numpy as np
+import pytest
+
+from pylda_tpu.corpus import synthetic_corpus
+from pylda_tpu.models import Inferencer, make_engine
+from pylda_tpu.utils.config import LDAConfig
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    c, _, _ = synthetic_corpus(
+        num_docs=48, num_topics=4, num_types=100, mean_doc_length=30, seed=2
+    )
+    return c
+
+
+def _cfg(mode, **kw):
+    base = dict(
+        number_of_topics=4,
+        inference_mode=mode,
+        alpha_alpha=0.2,
+        alpha_beta=0.02,
+        inner_iterations=20,
+        doc_pad_multiple=8,
+        batch_size=16,
+        seed=3,
+    )
+    base.update(kw)
+    return LDAConfig(**base)
+
+
+@pytest.mark.parametrize("mode", ["vb", "svi", "hybrid", "gibbs"])
+def test_resume_matches_continuous(mode, corpus, tmp_path):
+    # Continuous: 4 iterations.
+    cont = make_engine(_cfg(mode))
+    cont.initialize(corpus)
+    for _ in range(2):
+        cont.learning()
+    path = str(tmp_path / f"model-{mode}")
+    cont.save(path)
+    lls_cont = [cont.learning() for _ in range(2)]
+
+    # Restore at iteration 2 and continue.
+    res = Inferencer.load(path, corpus=corpus)
+    assert type(res).__name__ == type(cont).__name__
+    assert res._counter == 2
+    lls_res = [res.learning() for _ in range(2)]
+
+    for a, b in zip(lls_cont, lls_res):
+        assert abs(a - b) / abs(a) < 1e-5, (mode, lls_cont, lls_res)
+    np.testing.assert_allclose(
+        np.asarray(cont.state.lam), np.asarray(res.state.lam),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_inference_only_restore(corpus, tmp_path):
+    eng = make_engine(_cfg("vb"))
+    eng.initialize(corpus)
+    eng.learning()
+    path = str(tmp_path / "model-1")
+    eng.save(path)
+    res = Inferencer.load(path)  # no corpus: inference/export only
+    test = corpus.subset(range(8))
+    p1 = eng.perplexity(test)
+    p2 = res.perplexity(test)
+    assert abs(p1 - p2) / p1 < 1e-6
+    assert res._vocab.types == corpus.vocab.types
+
+
+def test_elastic_reshard_restore(corpus, tmp_path):
+    """Resume on a different device mesh (SURVEY.md section 5 'elastic
+    reshaping'): global state is only K x V — re-shard on load."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    from pylda_tpu.parallel.mesh import make_mesh
+
+    eng = make_engine(_cfg("vb"))
+    eng.initialize(corpus)
+    eng.learning()
+    path = str(tmp_path / "model-m")
+    eng.save(path)
+
+    res = Inferencer.load(path)
+    res._corpus = corpus
+    res._mesh = make_mesh(shape=(8, 1))
+    from pylda_tpu.parallel.mesh import shard_state
+
+    res._state = shard_state(res.state, res._mesh, False)
+    res._prepare(corpus)
+    ll_sharded = res.learning()
+    ll_single = eng.learning()
+    assert abs(ll_sharded - ll_single) / abs(ll_single) < 1e-4

@@ -1,0 +1,145 @@
+"""Gibbs + hybrid engines: invariants, convergence, oracle cross-checks."""
+
+import numpy as np
+import pytest
+
+from pylda_tpu.corpus import synthetic_corpus
+from pylda_tpu.models import Hybrid, MonteCarlo, VariationalBayes
+from pylda_tpu.oracle import OracleGibbs
+from pylda_tpu.utils.config import LDAConfig
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    c, _, _ = synthetic_corpus(
+        num_docs=80, num_topics=5, num_types=150, mean_doc_length=50, seed=3
+    )
+    return c
+
+
+def _cfg(mode, **kw):
+    base = dict(
+        number_of_topics=5,
+        inference_mode=mode,
+        alpha_alpha=0.2,
+        alpha_beta=0.05,
+        doc_pad_multiple=8,
+        bucket_sizes=(64, 128, 256),
+        seed=0,
+    )
+    base.update(kw)
+    return LDAConfig(**base)
+
+
+def test_gibbs_count_conservation(corpus):
+    eng = MonteCarlo(_cfg("gibbs"))
+    eng.initialize(corpus)
+    for _ in range(2):
+        eng.learning()
+    n_kv = np.asarray(eng._n_kv)
+    # Token conservation: counts sum to the (possibly truncated) corpus.
+    total = sum(float(b.token_mask.sum()) for b in eng._buckets)
+    assert n_kv.sum() == total == corpus.num_tokens
+    assert (n_kv >= 0).all()
+    # Per-doc counts match doc lengths.
+    for b, ndk in zip(eng._buckets, eng._ndk):
+        np.testing.assert_allclose(
+            np.asarray(ndk).sum(axis=1), b.token_mask.sum(axis=1)
+        )
+
+
+def test_gibbs_likelihood_improves(corpus):
+    eng = MonteCarlo(_cfg("gibbs"))
+    eng.initialize(corpus)
+    lls = [eng.learning() for _ in range(6)]
+    assert lls[-1] > lls[0] + 100  # well beyond noise from random init
+
+
+def test_gibbs_likelihood_formula_matches_oracle(corpus):
+    """Plug the engine's count tables into the oracle's formula."""
+    eng = MonteCarlo(_cfg("gibbs"))
+    eng.initialize(corpus)
+    eng.learning()
+    ora = OracleGibbs(corpus, num_topics=5, alpha=0.2, beta=0.05, seed=0)
+    # Overwrite oracle tables with the engine's state.
+    ora.n_kv = np.asarray(eng._n_kv, dtype=np.int64)
+    ora.n_k = ora.n_kv.sum(axis=1)
+    ndk_rows = []
+    order = []
+    for b, ndk in zip(eng._buckets, eng._ndk):
+        for row, d in enumerate(b.doc_ids):
+            if d >= 0:
+                order.append(int(d))
+                ndk_rows.append(np.asarray(ndk)[row])
+    ora.n_dk = np.stack([r for _, r in sorted(zip(order, ndk_rows))]).astype(
+        np.int64
+    )
+    expected = ora.log_likelihood(ora.alpha, ora.beta)
+    got = eng.compute_likelihood()
+    assert abs(got - expected) / abs(expected) < 1e-5, (got, expected)
+
+
+def test_gibbs_slice_sampler(corpus):
+    eng = MonteCarlo(_cfg("gibbs"))
+    eng.initialize(corpus)
+    for _ in range(3):
+        eng.learning()
+    a0 = float(eng.state.alpha.mean())
+    eng.optimize_hyperparameters(samples=3, step=2.0)
+    a1 = float(eng.state.alpha.mean())
+    assert a1 > 0 and np.isfinite(eng.compute_likelihood())
+    assert a1 != a0  # sampler moved
+
+
+def test_hybrid_converges_and_beats_random(corpus):
+    eng = Hybrid(_cfg("hybrid", number_of_samples=8, burn_in_sweeps=3))
+    eng.initialize(corpus)
+    test = corpus.subset(range(10))
+    p0 = eng.perplexity(test)
+    elbos = [eng.learning() for _ in range(6)]
+    p1 = eng.perplexity(test)
+    assert elbos[-1] > elbos[0]
+    assert p1 < p0 / 2
+
+
+def test_hybrid_perplexity_close_to_vb(corpus):
+    """Hybrid and VB optimise the same model — held-out perplexity should
+    land in the same range (statistical parity, BASELINE.json:5)."""
+    test = corpus.subset(range(16))
+    vb = VariationalBayes(_cfg("vb"))
+    vb.initialize(corpus)
+    hy = Hybrid(_cfg("hybrid", number_of_samples=10, burn_in_sweeps=5))
+    hy.initialize(corpus)
+    for _ in range(8):
+        vb.learning()
+        hy.learning()
+    pv, ph = vb.perplexity(test), hy.perplexity(test)
+    assert abs(pv - ph) / pv < 0.25, (pv, ph)
+
+
+def test_gibbs_topic_recovery():
+    K, V = 4, 80
+    corpus, true_beta, _ = synthetic_corpus(
+        num_docs=200, num_topics=K, num_types=V,
+        mean_doc_length=80, alpha=0.08, beta_concentration=0.03, seed=13,
+    )
+    eng = MonteCarlo(
+        LDAConfig(number_of_topics=K, inference_mode="gibbs",
+                  alpha_alpha=0.1, alpha_beta=0.01,
+                  doc_pad_multiple=8, bucket_sizes=(128, 256), seed=1)
+    )
+    eng.initialize(corpus)
+    for _ in range(30):
+        eng.learning()
+    est = eng.topic_word_distribution()
+    true_top = np.argsort(-true_beta, axis=1)[:, :10]
+    est_top = np.argsort(-est, axis=1)[:, :10]
+    overlaps = np.zeros((K, K))
+    for i in range(K):
+        for j in range(K):
+            overlaps[i, j] = len(
+                set(true_top[i].tolist()) & set(est_top[j].tolist())
+            )
+    best = overlaps.max(axis=1)
+    assert (best >= 4).all(), best
+    assert best.mean() >= 6.5, best
