@@ -54,12 +54,13 @@ def main() -> int:
     )
     eng = VariationalBayes(cfg)
     eng.initialize(corpus)
-    eng.learning()  # compile + first pass (excluded)
-    iters = 3
+    iters = 16
+    eng.learning_many(iters)  # compile + warm (excluded; scan length is
+    # a static shape, so warm with the same n as the timed call)
     t0 = time.time()
-    for _ in range(iters):
-        elbo = eng.learning()
+    elbos = eng.learning_many(iters)  # ONE fused device dispatch
     dt = (time.time() - t0) / iters
+    elbo = elbos[-1]
     docs_per_sec = D / dt
 
     # PyLDA-CPU stand-in: per-document Python/NumPy loop, same config.

@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Iterable, List, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 
 from pylda_tpu.corpus.vocabulary import Vocabulary
@@ -82,6 +83,17 @@ class SequenceBucket:
     @property
     def num_tokens(self) -> float:
         return float(self.token_mask.sum())
+
+
+# Batches cross jit boundaries whole (the engines trace ONE function per
+# training iteration over every batch — a single device dispatch, which
+# matters enormously when dispatch latency is high).  Registering them as
+# pytrees keeps the field names/types visible to jax.
+for _cls in (DenseBatch, RaggedBucket, SequenceBucket):
+    jax.tree_util.register_dataclass(
+        _cls, data_fields=[f.name for f in dataclasses.fields(_cls)],
+        meta_fields=[],
+    )
 
 
 def _round_up(x: int, m: int) -> int:

@@ -55,7 +55,10 @@ class Inferencer:
 
     @property
     def _counter(self) -> int:
-        return 0 if self._state is None else int(self._state.step)
+        """Host-side mirror of state.step — reading the device scalar
+        would cost a blocking transfer per call (expensive when dispatch
+        latency is high)."""
+        return getattr(self, "_step_host", 0)
 
     @property
     def _number_of_topics(self) -> int:
@@ -121,6 +124,7 @@ class Inferencer:
             step=jnp.int32(0),
             key=key,
         )
+        self._step_host = 0
         if mesh is not None:
             from pylda_tpu.parallel.mesh import shard_state
 
@@ -135,9 +139,11 @@ class Inferencer:
         raise NotImplementedError
 
     def _maybe_shard(self, batches):
-        """Document-shard host batches when running on a mesh."""
+        """Place host batches on device once at preparation time (shard
+        over the mesh when given) so training iterations never re-upload
+        the corpus."""
         if self._mesh is None:
-            return batches
+            return [jax.device_put(b) for b in batches]  # pytree batches
         from pylda_tpu.parallel.mesh import shard_batch
 
         return [shard_batch(b, self._mesh) for b in batches]
@@ -145,6 +151,12 @@ class Inferencer:
     def learning(self) -> float:
         """One training iteration; returns the training objective."""
         raise NotImplementedError
+
+    def learning_many(self, n: int):
+        """n training iterations; returns the per-iteration objectives.
+        Engines override this with fused on-device scans — the default
+        just loops ``learning()``."""
+        return [self.learning() for _ in range(n)]
 
     def inference(self, test_corpus: Corpus) -> Tuple[float, np.ndarray]:
         """Held-out evaluation with global state frozen; returns
@@ -243,6 +255,7 @@ class Inferencer:
             step=jnp.int32(blobs["step"]),
             key=jnp.asarray(blobs["key"]),
         )
+        engine._step_host = int(blobs["step"])
         engine._load_extra_state(
             {
                 k[len("extra_") :]: v

@@ -17,11 +17,14 @@ n_dk updates exact and sequential, and rebuild (n_kv, n_k) from z after
 every sweep.  Parity with the reference chain is therefore statistical —
 perplexity and top-word lists within Monte-Carlo tolerance
 (BASELINE.json:5) — not sample-for-sample.
+
+Dispatch discipline: one ``learning()`` call = one jitted dispatch (all
+buckets swept + joint likelihood); ``learning_many(n)`` runs n sweeps in
+a single ``lax.scan`` dispatch, chunked at hyperopt boundaries.
 """
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import List, Tuple
 
@@ -46,7 +49,6 @@ def _log_phi_hat(n_kv, beta):
     return jnp.log(n_kv + beta[None, :]) - jnp.log(n_k + beta.sum())
 
 
-@jax.jit
 def _topic_side_ll(n_kv, beta):
     """K[logG(sum b) - sum logG(b)] + sum_k[sum_v logG(n_kv+b) -
     logG(n_k + sum b)]  (SURVEY.md section 8.2)."""
@@ -58,7 +60,6 @@ def _topic_side_ll(n_kv, beta):
     return s
 
 
-@jax.jit
 def _doc_side_ll(ndk, mask, alpha):
     """D[logG(sum a) - sum logG(a)] + sum_d[...] with padded rows inert."""
     n_d = ndk.sum(axis=1)
@@ -104,6 +105,55 @@ class MonteCarlo(Inferencer):
         # Checkpoint resume: re-apply persisted z / count tables if present.
         if self._prepare_from_restore():
             self._n_kv = jnp.asarray(self._z_restore["n_kv"])
+        self._jit_sweep = jax.jit(self._sweep)
+        self._jit_sweep_scan = jax.jit(
+            self._sweep_scan, static_argnames=("n",)
+        )
+        self._jit_likelihood = jax.jit(self._likelihood)
+
+    # -- traced sweep / likelihood -------------------------------------------------
+
+    def _sweep(self, alpha, eta, key, n_kv, zs, buckets):
+        """One full AD-LDA sweep over every bucket + joint likelihood,
+        as a pure function (single dispatch)."""
+        cfg = self._config
+        K, V = cfg.number_of_topics, len(self._vocab)
+        log_tw = _log_phi_hat(n_kv, eta)
+        n_kv_new = jnp.zeros_like(n_kv)
+        z_out, ndk_out = [], []
+        for i, (b, z) in enumerate(zip(buckets, zs)):
+            _gamma, counts, z_new, ndk = sample_doc_topics(
+                b.tokens, b.token_mask, log_tw, alpha, z,
+                jax.random.fold_in(key, i),
+                num_topics=K, num_types=V, burn_in=0, num_samples=1,
+            )
+            z_out.append(z_new)
+            ndk_out.append(ndk)
+            n_kv_new = n_kv_new + counts
+        ll = _topic_side_ll(n_kv_new, eta)
+        for b, ndk in zip(buckets, ndk_out):
+            ll = ll + _doc_side_ll(ndk, b.mask, alpha)
+        return n_kv_new, tuple(z_out), tuple(ndk_out), ll
+
+    def _sweep_scan(self, alpha, eta, key, n_kv, zs, buckets, n):
+        def body(carry, i):
+            n_kv, zs = carry
+            n_kv_new, z_new, ndk_new, ll = self._sweep(
+                alpha, eta, jax.random.fold_in(key, i), n_kv, zs, buckets
+            )
+            return (n_kv_new, z_new), (ll, ndk_new)
+
+        (n_kv, zs), (lls, ndks) = jax.lax.scan(
+            body, (n_kv, tuple(zs)), jnp.arange(n)
+        )
+        ndk_last = jax.tree.map(lambda x: x[-1], ndks)
+        return n_kv, zs, ndk_last, lls
+
+    def _likelihood(self, alpha, beta, n_kv, ndks, masks):
+        s = _topic_side_ll(n_kv, beta)
+        for ndk, mask in zip(ndks, masks):
+            s = s + _doc_side_ll(ndk, mask, alpha)
+        return s
 
     # -- training -----------------------------------------------------------------
 
@@ -111,39 +161,61 @@ class MonteCarlo(Inferencer):
         """One full Gibbs sweep over the corpus; returns joint log p(w,z)."""
         st = self.state
         cfg = self._config
-        K, V = cfg.number_of_topics, len(self._vocab)
         key, sub = jax.random.split(st.key)
-        log_tw = _log_phi_hat(self._n_kv, st.eta)
-        n_kv_new = jnp.zeros_like(self._n_kv)
-        for i, b in enumerate(self._buckets):
-            _gamma, counts, z_new, ndk = sample_doc_topics(
-                jnp.asarray(b.tokens),
-                jnp.asarray(b.token_mask),
-                log_tw,
-                st.alpha,
-                self._z[i],
-                jax.random.fold_in(sub, i),
-                num_topics=K,
-                num_types=V,
-                burn_in=0,
-                num_samples=1,
-            )
-            self._z[i] = z_new
-            self._ndk[i] = ndk
-            n_kv_new = n_kv_new + counts
-        self._n_kv = n_kv_new
+        self._n_kv, z_new, ndk_new, ll = self._jit_sweep(
+            st.alpha, st.eta, sub, self._n_kv, tuple(self._z), self._buckets
+        )
+        self._z = list(z_new)
+        self._ndk = list(ndk_new)
 
-        step_new = int(st.step) + 1
+        step_new = self._counter + 1
         self._state = LDAState(
             lam=st.lam, alpha=st.alpha, eta=st.eta,
-            step=jnp.int32(step_new), key=key,
+            step=st.step + 1, key=key,
         )
+        self._step_host = step_new
         interval = cfg.hyper_parameter_optimize_interval
         if interval > 0 and step_new % interval == 0:
             self.optimize_hyperparameters(
                 samples=cfg.slice_samples, step=cfg.slice_step
             )
-        return self.compute_likelihood()
+            return self.compute_likelihood()
+        return float(ll)
+
+    def learning_many(self, n: int):
+        """n sweeps; scan-fused between hyperopt boundaries."""
+        cfg = self._config
+        interval = cfg.hyper_parameter_optimize_interval
+        out: List[float] = []
+        remaining = n
+        while remaining > 0:
+            if interval > 0:
+                to_boundary = interval - (self._counter % interval)
+                chunk = min(remaining, to_boundary)
+            else:
+                chunk = remaining
+            st = self.state
+            key, sub = jax.random.split(st.key)
+            self._n_kv, z_new, ndk_last, lls = self._jit_sweep_scan(
+                st.alpha, st.eta, sub, self._n_kv, tuple(self._z),
+                self._buckets, n=chunk,
+            )
+            self._z = list(z_new)
+            self._ndk = list(ndk_last)
+            self._state = LDAState(
+                lam=st.lam, alpha=st.alpha, eta=st.eta,
+                step=st.step + chunk, key=key,
+            )
+            self._step_host = self._counter + chunk
+            vals = [float(x) for x in np.asarray(lls)]
+            if interval > 0 and self._counter % interval == 0:
+                self.optimize_hyperparameters(
+                    samples=cfg.slice_samples, step=cfg.slice_step
+                )
+                vals[-1] = self.compute_likelihood()
+            out.extend(vals)
+            remaining -= chunk
+        return out
 
     def compute_likelihood(
         self, alpha_scalar: float | None = None, beta_scalar: float | None = None
@@ -160,10 +232,12 @@ class MonteCarlo(Inferencer):
             if beta_scalar is None
             else jnp.full_like(st.eta, beta_scalar)
         )
-        s = _topic_side_ll(self._n_kv, beta)
-        for b, ndk in zip(self._buckets, self._ndk):
-            s = s + _doc_side_ll(ndk, jnp.asarray(b.mask), alpha)
-        return float(s)
+        masks = tuple(b.mask for b in self._buckets)
+        return float(
+            self._jit_likelihood(
+                alpha, beta, self._n_kv, tuple(self._ndk), masks
+            )
+        )
 
     # -- Wallach slice sampler (SURVEY.md section 8.2) ----------------------------
 

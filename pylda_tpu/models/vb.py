@@ -9,12 +9,20 @@ per iteration, Newton alpha/eta updates at the configured interval.
 The public surface mirrors the reference: ``initialize``/``_initialize``,
 ``learning() -> elbo``, ``inference(test) -> (ll, gamma)``,
 ``export_beta``.
+
+Dispatch discipline (the #1 throughput lever on this hardware): one
+``learning()`` call is ONE jitted device dispatch covering every batch,
+the M-step, the bound, and (on schedule) the Newton hyperparameter
+updates; ``learning_many(n)`` goes further and runs n full iterations
+inside a single ``lax.scan``, so the per-dispatch latency amortises to
+nothing.  Per-document gammas stay on device and are only assembled into
+a host array lazily via the ``gamma`` property.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -94,11 +102,6 @@ def _vb_ragged_batch(
 
 
 @jax.jit
-def _vb_mstep(eta, sstats):
-    return eta[None, :] + sstats
-
-
-@jax.jit
 def _elog_lambda_sum(lam):
     return dirichlet_expectation(lam).sum(axis=0)
 
@@ -114,8 +117,18 @@ class VariationalBayes(Inferencer):
     def _prepare(self, corpus: Corpus) -> None:
         self._batches = self._build_batches(corpus)
         self._gamma_np: Optional[np.ndarray] = None
+        self._gammas_dev: Optional[List[jax.Array]] = None
+        self._gamma_batches: Optional[List[layouts.VBBatch]] = None
+        # One trace per engine: every batch + M-step + bound + hyper
+        # updates in a single dispatch (module docstring).
+        self._jit_iteration = jax.jit(
+            self._iteration, static_argnames=("update_hypers",)
+        )
+        self._jit_scan = jax.jit(
+            self._iterations_scan, static_argnames=("n", "hyper_interval")
+        )
 
-    # -- one full VB iteration ---------------------------------------------------
+    # -- E-step over every batch (traced; one sub-call per batch shape) ----------
 
     def _run_estep(
         self, batches: List[layouts.VBBatch], lam, alpha, key
@@ -129,7 +142,23 @@ class VariationalBayes(Inferencer):
         gammas = []
         for i, b in enumerate(batches):
             sub = jax.random.fold_in(key, i)
-            if isinstance(b, DenseBatch):
+            if isinstance(b, DenseBatch) and cfg.use_pallas == "always":
+                from pylda_tpu.ops.pallas_estep import pallas_estep_dense
+
+                gamma0 = _gamma_init(
+                    sub, (b.counts.shape[0], alpha.shape[0]), lam.dtype,
+                    cfg.gamma_init,
+                )
+                g, ss, tok = pallas_estep_dense(
+                    b.counts, gamma0, exp_dirichlet_expectation(lam), alpha,
+                    inner_iterations=cfg.inner_iterations,
+                    convergence_threshold=cfg.convergence_threshold,
+                    eps=cfg.eps,
+                    interpret=jax.default_backend() == "cpu",
+                )
+                th = theta_elbo(g, alpha, b.mask)
+                el = (dirichlet_expectation(g) * b.mask[:, None]).sum(axis=0)
+            elif isinstance(b, DenseBatch):
                 g, ss, tok, th, el, _ = _vb_dense_batch(
                     b.counts, b.mask, lam, alpha, sub,
                     cfg.inner_iterations, cfg.convergence_threshold, cfg.eps,
@@ -148,47 +177,122 @@ class VariationalBayes(Inferencer):
             gammas.append(g)
         return gammas, sstats, token_score, theta_score, elog_sum
 
+    # -- one full VB iteration, fully on device -----------------------------------
+
+    def _iteration(
+        self, state: LDAState, batches, update_hypers: bool
+    ):
+        """One batch-VB iteration as a pure function of (state, batches)."""
+        cfg = self._config
+        key, sub = jax.random.split(state.key)
+        gammas, sstats, token_score, theta_score, elog_sum = self._run_estep(
+            batches, state.lam, state.alpha, sub
+        )
+        elbo = token_score + theta_score + beta_elbo(state.lam, state.eta)
+        lam_new = state.eta[None, :] + sstats
+
+        alpha_new, eta_new = state.alpha, state.eta
+        if update_hypers:
+            alpha_new = newton_dirichlet_mle(
+                state.alpha, elog_sum, jnp.asarray(self._corpus.num_docs)
+            )
+            eta_new = newton_dirichlet_mle(
+                state.eta,
+                _elog_lambda_sum(lam_new),
+                jnp.asarray(cfg.number_of_topics),
+            )
+        new_state = LDAState(
+            lam=lam_new, alpha=alpha_new, eta=eta_new,
+            step=state.step + 1, key=key,
+        )
+        return new_state, elbo, gammas
+
+    def _iterations_scan(
+        self, state: LDAState, batches, n: int, hyper_interval: int
+    ):
+        """n full iterations in one lax.scan (one dispatch total).
+
+        Hyper updates run via lax.cond on the carried step counter, so the
+        scan is iteration-for-iteration identical to n ``learning()``
+        calls."""
+
+        def body(carry, _):
+            st = carry
+            if hyper_interval > 0:
+                do_up = (st.step + 1) % hyper_interval == 0
+
+                def with_up(s):
+                    return self._iteration(s, batches, update_hypers=True)[:2]
+
+                def without_up(s):
+                    return self._iteration(s, batches, update_hypers=False)[:2]
+
+                new_st, elbo = jax.lax.cond(do_up, with_up, without_up, st)
+            else:
+                new_st, elbo, _ = self._iteration(
+                    st, batches, update_hypers=False
+                )
+            return new_st, elbo
+
+        new_state, elbos = jax.lax.scan(body, state, None, length=n)
+        # Final gammas for export/snapshotting: recompute at the final
+        # lambda (the E-step at fixed lambda is what defines gamma).
+        _, _, gammas = self._iteration(new_state, batches, update_hypers=False)
+        return new_state, elbos, gammas
+
+    # -- public training surface ---------------------------------------------------
+
     def learning(self) -> float:
         """One batch-VB iteration: E-step, bound, M-step, hyper updates.
 
         Returns the ELBO at (gamma*, lambda-used-in-E-step), which is
         monotone non-decreasing across iterations (coordinate ascent)."""
         st = self.state
-        cfg = self._config
-        key, sub = jax.random.split(st.key)
-        gammas, sstats, token_score, theta_score, elog_sum = self._run_estep(
-            self._batches, st.lam, st.alpha, sub
+        interval = self._config.hyper_parameter_optimize_interval
+        update = interval > 0 and (self._counter + 1) % interval == 0
+        new_state, elbo, gammas = self._jit_iteration(
+            st, self._batches, update_hypers=update
         )
-        elbo = token_score + theta_score + beta_elbo(st.lam, st.eta)
-        lam_new = _vb_mstep(st.eta, sstats)
-
-        alpha_new, eta_new = st.alpha, st.eta
-        step_new = int(st.step) + 1
-        interval = cfg.hyper_parameter_optimize_interval
-        if interval > 0 and step_new % interval == 0:
-            alpha_new = newton_dirichlet_mle(
-                st.alpha, elog_sum, jnp.asarray(self._corpus.num_docs)
-            )
-            eta_new = newton_dirichlet_mle(
-                st.eta,
-                _elog_lambda_sum(lam_new),
-                jnp.asarray(cfg.number_of_topics),
-            )
-
-        self._gamma_np = layouts.assemble_gamma(
-            self._batches,
-            [np.asarray(g) for g in gammas],
-            self._corpus.num_docs,
-            np.asarray(st.alpha),
-        )
-        self._state = LDAState(
-            lam=lam_new,
-            alpha=alpha_new,
-            eta=eta_new,
-            step=jnp.int32(step_new),
-            key=key,
-        )
+        self._state = new_state
+        self._step_host = self._counter + 1
+        self._set_gammas(gammas, self._batches)
         return float(elbo)
+
+    def learning_many(self, n: int) -> List[float]:
+        """n iterations in ONE device dispatch (lax.scan); returns the
+        per-iteration ELBOs.  Semantically identical to n ``learning()``
+        calls up to the RNG stream of the per-iteration gamma inits."""
+        if n <= 0:
+            return []
+        st = self.state
+        new_state, elbos, gammas = self._jit_scan(
+            st, self._batches, n=n,
+            hyper_interval=self._config.hyper_parameter_optimize_interval,
+        )
+        self._state = new_state
+        self._step_host = self._counter + n
+        self._set_gammas(gammas, self._batches)
+        return [float(x) for x in np.asarray(elbos)]
+
+    # -- gamma bookkeeping (lazy host assembly) -------------------------------------
+
+    def _set_gammas(self, gammas, batches) -> None:
+        self._gammas_dev = gammas
+        self._gamma_batches = batches
+        self._gamma_np = None
+
+    @property
+    def gamma(self) -> Optional[np.ndarray]:
+        """Per-document gamma [D, K] in corpus order (host array,
+        assembled on first access)."""
+        if self._gamma_np is None and self._gammas_dev is not None:
+            self._gamma_np = layouts.assemble_gamma(
+                self._gamma_batches,
+                [np.asarray(g) for g in self._gammas_dev],
+                self._corpus.num_docs,
+                np.asarray(self.state.alpha),
+            )
+        return self._gamma_np
 
     # -- held-out ------------------------------------------------------------------
 

@@ -87,6 +87,14 @@ class LDAConfig:
     # the number of distinct compiled shapes.
     doc_pad_multiple: int = 64
 
+    # ----- kernels -----
+    # "never" | "always": route dense-batch E-steps through the fused
+    # Pallas VMEM-resident kernel (ops/pallas_estep.py).  Experimental:
+    # correctness-tested (matches the XLA path within f32 fixed-point
+    # noise), but on the current toolchain Mosaic scheduling loses to
+    # XLA's fusion at most shapes, so the default stays "never".
+    use_pallas: str = "never"
+
     # ----- numerics -----
     dtype: str = "float32"
     # Floor added to phi normalisers before division/log; the f32 analog of

@@ -1,0 +1,98 @@
+"""Correctness of the fused Pallas dense E-step kernel.
+
+Runs in Pallas interpreter mode on the CPU test backend; the kernel math
+must match the XLA path (ops/estep.estep_dense) within the f32
+fixed-point noise floor, and the in-kernel digamma series must match
+scipy to f32 accuracy over the E-step's operating range.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.special import psi
+
+from pylda_tpu.corpus.synthetic import synthetic_corpus
+from pylda_tpu.models import VariationalBayes
+from pylda_tpu.ops.dirichlet import exp_dirichlet_expectation
+from pylda_tpu.ops.estep import estep_dense
+from pylda_tpu.ops.pallas_estep import (
+    digamma_approx,
+    pallas_estep_dense,
+    pick_tile_d,
+)
+from pylda_tpu.utils.config import LDAConfig
+
+
+def test_digamma_series_accuracy():
+    x = np.random.default_rng(0).uniform(0.005, 200.0, 8192).astype(np.float32)
+    got = np.asarray(digamma_approx(jnp.asarray(x)))
+    want = psi(x.astype(np.float64))
+    # Absolute error floor set by f32 cancellation at small x (|psi| ~ 1/x).
+    assert np.abs(got - want).max() < 5e-4
+    rel = np.abs((got - want) / (np.abs(want) + 1e-3)).max()
+    assert rel < 2e-5
+
+
+def test_pick_tile_respects_budget():
+    assert pick_tile_d(4096, 100, 512) >= 128
+    assert pick_tile_d(4096, 100, 100_000) == 0  # topic matrix alone too big
+
+
+def test_kernel_matches_xla_path():
+    D, K, V = 96, 10, 256
+    rng = np.random.default_rng(5)
+    counts = jnp.asarray(rng.poisson(0.2, (D, V)).astype(np.float32))
+    lam = jnp.asarray(rng.gamma(100.0, 0.01, (K, V)), jnp.float32)
+    alpha = jnp.full((K,), 0.1, jnp.float32)
+    eeb = exp_dirichlet_expectation(lam)
+    g0 = jnp.ones((D, K), jnp.float32)
+
+    g_p, ss_p, sc_p = pallas_estep_dense(
+        counts, g0, eeb, alpha, inner_iterations=20,
+        convergence_threshold=1e-6, eps=1e-30, tile_d=32, interpret=True,
+    )
+    g_x, ss_x, sc_x, _ = estep_dense(
+        counts, g0, eeb, alpha, inner_iterations=20,
+        convergence_threshold=0.0, eps=1e-30,
+    )
+    # f32 fixed points wander slightly (limit cycles); compare loosely on
+    # gamma and tightly on the aggregate score.
+    assert float(jnp.abs(sc_p - sc_x)) < 1e-3 * abs(float(sc_x))
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.asarray(g_x), rtol=0.05, atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(ss_p), np.asarray(ss_x), rtol=0.1, atol=0.01
+    )
+    # Exact invariants hold independently of the XLA path.
+    doc_len = np.asarray(counts.sum(axis=1))
+    np.testing.assert_allclose(
+        np.asarray(g_p.sum(axis=1)), 0.1 * K + doc_len, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(ss_p.sum()), float(counts.sum()), rtol=1e-3
+    )
+
+
+def test_engine_use_pallas_end_to_end():
+    corpus, _, _ = synthetic_corpus(
+        num_docs=64, num_topics=4, num_types=128, mean_doc_length=25, seed=2
+    )
+    ref_cfg = LDAConfig(
+        number_of_topics=4, inference_mode="vb", inner_iterations=15,
+        doc_pad_multiple=8, gamma_init="ones", seed=0,
+    )
+    pal_cfg = LDAConfig(
+        number_of_topics=4, inference_mode="vb", inner_iterations=15,
+        doc_pad_multiple=8, gamma_init="ones", seed=0, use_pallas="always",
+    )
+    ref, pal = VariationalBayes(ref_cfg), VariationalBayes(pal_cfg)
+    ref.initialize(corpus)
+    pal.initialize(corpus)
+    e_ref = [ref.learning() for _ in range(5)]
+    e_pal = [pal.learning() for _ in range(5)]
+    for a, b in zip(e_ref, e_pal):
+        assert abs(a - b) < 1e-3 * abs(a), (e_ref, e_pal)
+    test = corpus.subset(range(16))
+    assert abs(ref.perplexity(test) - pal.perplexity(test)) < 0.5

@@ -99,7 +99,7 @@ def test_gamma_row_sums(trained_pair, corpus):
     """gamma rows sum to sum(alpha) + doc length (SURVEY.md section 4.2)."""
     eng, _, _, _ = trained_pair
     doc_lens = np.array([d.size for d in corpus.docs], dtype=np.float64)
-    sums = eng._gamma_np.sum(axis=1)
+    sums = eng.gamma.sum(axis=1)
     # f32 fixed-point limit cycles bound the residual (~1e-3 relative);
     # the exact identity is asserted at f64 in test_estep_f64.py.
     np.testing.assert_allclose(sums, 0.2 * 5 + doc_lens, rtol=5e-3)
