@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Benchmark suite: the five BASELINE.md evaluation configs.
+
+The real corpora (NIPS, 20-Newsgroups, Wikipedia-100k) are not
+downloadable in this environment (SURVEY.md section 7.3), so each config
+runs on a synthetic corpus of matching shape (documents, vocabulary,
+length distribution, topic count).  Config 1 uses the real bundled corpus
+and additionally gates on perplexity parity with the float64 oracle.
+
+Usage:
+    python bench_suite.py             # all configs
+    python bench_suite.py --config 3  # one config
+Prints one JSON line per config.
+
+(The driver-facing headline benchmark stays in bench.py.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _engine(cfg_kwargs, corpus, vocab=None, mesh=None):
+    from pylda_tpu.models import make_engine
+    from pylda_tpu.utils.config import LDAConfig
+
+    eng = make_engine(LDAConfig(**cfg_kwargs))
+    eng.initialize(corpus, vocab, mesh=mesh)
+    return eng
+
+
+def _throughput(eng, corpus, iters, warm=2):
+    eng.learning_many(iters)  # compile + warm at the measured scan length
+    t0 = time.time()
+    objs = eng.learning_many(iters)
+    dt = (time.time() - t0) / iters
+    return corpus.num_docs / dt, objs[-1], dt
+
+
+def config1():
+    """Batch VB, K=10, bundled corpus; perplexity parity vs f64 oracle."""
+    from pylda_tpu.corpus.datasets import bundled_corpus_dir, load_input_directory
+    from pylda_tpu.oracle import OracleVB
+
+    train, test, vocab = load_input_directory(bundled_corpus_dir())
+    # Start engine and oracle from the SAME lambda init: the 1% parity
+    # gate compares algorithms, and different random inits land in
+    # different local optima of the same non-convex bound.
+    ora = OracleVB(train, num_topics=10, alpha=0.1, eta=1.0 / len(vocab),
+                   seed=0, gamma_init="ones")
+    lam0 = ora.lam.copy()
+    eng = _engine(
+        dict(number_of_topics=10, inference_mode="vb", seed=0,
+             gamma_init="ones"),
+        train, vocab,
+    )
+    eng.initialize(train, vocab, lam_init=lam0)
+    docs_sec, elbo, _ = _throughput(eng, train, 16)
+    eng.learning_many(30)
+    pe = eng.perplexity(test)
+    for _ in range(62):
+        ora.learning()
+    po = ora.perplexity(test)
+    return {
+        "config": "1: batch VB K=10 bundled corpus",
+        "docs_per_sec": round(docs_sec, 1),
+        "final_elbo": round(elbo, 1),
+        "perplexity": round(pe, 3),
+        "oracle_perplexity": round(po, 3),
+        "perplexity_gap": round(abs(pe - po) / po, 5),
+        "parity_within_1pct": bool(abs(pe - po) / po < 0.01),
+    }
+
+
+def config2():
+    """Batch VB + alpha/eta hyperopt, K=50, NIPS-shaped corpus."""
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=1536, num_topics=50, num_types=12_000,
+        mean_doc_length=900.0, seed=1,
+    )
+    eng = _engine(
+        dict(number_of_topics=50, inference_mode="vb",
+             hyper_parameter_optimize_interval=5, seed=0),
+        corpus,
+    )
+    docs_sec, elbo, _ = _throughput(eng, corpus, 10)
+    alpha = np.asarray(eng.state.alpha)
+    return {
+        "config": "2: batch VB K=50 NIPS-shaped + hyperopt",
+        "docs_per_sec": round(docs_sec, 1),
+        "final_elbo": round(elbo, 1),
+        "alpha_minmax": [round(float(alpha.min()), 5),
+                         round(float(alpha.max()), 5)],
+    }
+
+
+def config3():
+    """Collapsed Gibbs + hybrid, K=100, 20-Newsgroups-shaped corpus."""
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=4096, num_topics=100, num_types=30_000,
+        mean_doc_length=120.0, seed=2,
+    )
+    test = corpus.subset(range(256))
+    out = {"config": "3: Gibbs/hybrid K=100 20news-shaped"}
+    for mode in ("gibbs", "hybrid"):
+        eng = _engine(
+            dict(number_of_topics=100, inference_mode=mode, seed=0,
+                 number_of_samples=5, burn_in_sweeps=3),
+            corpus,
+        )
+        docs_sec, obj, _ = _throughput(eng, corpus, 4)
+        eng.learning_many(40)  # train to a meaningful state before eval
+        out[f"{mode}_docs_per_sec"] = round(docs_sec, 1)
+        out[f"{mode}_objective"] = round(obj, 1)
+        out[f"{mode}_perplexity"] = round(eng.perplexity(test), 2)
+    return out
+
+
+def config4():
+    """Stochastic VI, K=200, Wikipedia-100k-shaped stream, single host."""
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=16_384, num_topics=200, num_types=50_000,
+        mean_doc_length=150.0, seed=3,
+    )
+    eng = _engine(
+        dict(number_of_topics=200, inference_mode="svi", batch_size=1024,
+             tau0=64.0, kappa=0.7, seed=0),
+        corpus,
+    )
+    eng.learning()  # compile + warm
+    t0 = time.time()
+    est = eng.learning()
+    dt = time.time() - t0
+    return {
+        "config": "4: SVI K=200 V=50k wiki-shaped",
+        "docs_per_sec": round(corpus.num_docs / dt, 1),
+        "epoch_seconds": round(dt, 2),
+        "elbo_estimate": round(est, 1),
+    }
+
+
+def config5():
+    """Doc-sharded SVI, K=1000, V=100k: the multi-host HBM-pressure
+    config.  Real pod slices are unavailable here; this measures the
+    single-chip step at full state size (lambda is K x V = 400 MB) and
+    the multi-chip path is validated by __graft_entry__.dryrun_multichip
+    + tests/test_sharding.py on a simulated mesh."""
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=8_192, num_topics=1000, num_types=100_000,
+        mean_doc_length=150.0, seed=4,
+    )
+    eng = _engine(
+        dict(number_of_topics=1000, inference_mode="svi", batch_size=2048,
+             tau0=64.0, kappa=0.7, seed=0, inner_iterations=30),
+        corpus,
+    )
+    eng.learning()
+    t0 = time.time()
+    est = eng.learning()
+    dt = time.time() - t0
+    return {
+        "config": "5: SVI K=1000 V=100k (single-chip; sharding via dryrun)",
+        "docs_per_sec": round(corpus.num_docs / dt, 1),
+        "epoch_seconds": round(dt, 2),
+        "elbo_estimate": round(est, 1),
+        "lambda_bytes": 1000 * 100_000 * 4,
+    }
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+
+
+def main() -> int:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=0, help="1-5; 0 = all")
+    args = ap.parse_args()
+    which = [args.config] if args.config else sorted(CONFIGS)
+    for c in which:
+        t0 = time.time()
+        try:
+            res = CONFIGS[c]()
+            res["bench_wall_seconds"] = round(time.time() - t0, 1)
+        except Exception as e:  # keep the suite going
+            res = {"config": str(c), "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(res), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default=None,
                    help="data,model mesh shape, e.g. 8,1 or 4,2")
     p.add_argument("--shard_vocab", action="store_true")
+    p.add_argument("--shard_topics", action="store_true",
+                   help="shard lambda's topic axis over the model mesh "
+                        "axis (exclusive with --shard_vocab)")
     p.add_argument("--coordinator_address", default=None,
                    help="multi-host: ip:port of process 0")
     p.add_argument("--num_processes", type=int, default=None)
@@ -109,6 +112,7 @@ def config_from_args(args) -> LDAConfig:
             tuple(int(x) for x in args.mesh.split(",")) if args.mesh else None
         ),
         shard_vocab=args.shard_vocab,
+        shard_topics=args.shard_topics,
         seed=args.seed,
         dtype=args.dtype,
         gamma_init=args.gamma_init,

@@ -53,14 +53,26 @@ def synthetic_corpus(
         width = len(str(num_types - 1))
         vocab = Vocabulary(f"w{v:0{width}d}" for v in range(num_types))
     theta = rng.dirichlet(np.full(num_topics, alpha), size=num_docs)
-    docs = []
+    # Inverse-CDF sampling with CDFs built once: rng.choice(p=...) would
+    # rebuild a V-length CDF per call, which is minutes of host time at
+    # K=1000, V=100k corpus scale.
+    lens = np.maximum(1, rng.poisson(mean_doc_length, size=num_docs))
+    total = int(lens.sum())
+    cum_theta = np.cumsum(theta, axis=1)
+    z_all = np.empty(total, dtype=np.int32)
+    offs = np.concatenate([[0], np.cumsum(lens)])
     for d in range(num_docs):
-        n = max(1, rng.poisson(mean_doc_length))
-        z = rng.choice(num_topics, size=n, p=theta[d])
-        # Vectorised per-topic word draws.
-        w = np.empty(n, dtype=np.int32)
-        for k in np.unique(z):
-            sel = z == k
-            w[sel] = rng.choice(num_types, size=int(sel.sum()), p=beta[k])
-        docs.append(w)
+        z_all[offs[d] : offs[d + 1]] = np.searchsorted(
+            cum_theta[d], rng.random(lens[d]), side="right"
+        )
+    np.clip(z_all, 0, num_topics - 1, out=z_all)
+    cum_beta = np.cumsum(beta, axis=1)
+    w_all = np.empty(total, dtype=np.int32)
+    for k in np.unique(z_all):
+        sel = np.nonzero(z_all == k)[0]
+        w_all[sel] = np.searchsorted(
+            cum_beta[k], rng.random(sel.size), side="right"
+        )
+    np.clip(w_all, 0, num_types - 1, out=w_all)
+    docs = [w_all[offs[d] : offs[d + 1]] for d in range(num_docs)]
     return Corpus(docs, vocab), beta, theta

@@ -128,7 +128,9 @@ class Inferencer:
         if mesh is not None:
             from pylda_tpu.parallel.mesh import shard_state
 
-            self._state = shard_state(self._state, mesh, cfg.shard_vocab)
+            self._state = shard_state(
+                self._state, mesh, cfg.shard_vocab, cfg.shard_topics
+            )
         self._prepare(corpus)
 
     # reference-compatible alias

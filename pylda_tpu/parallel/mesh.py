@@ -92,14 +92,26 @@ def batch_shardings(mesh: Mesh, batch) -> dict:
     raise TypeError(type(batch))
 
 
-def state_shardings(mesh: Mesh, shard_vocab: bool = False) -> dict:
+def state_shardings(
+    mesh: Mesh, shard_vocab: bool = False, shard_topics: bool = False
+) -> dict:
     """lambda replicated by default; vocab-sharded on "model" when the
-    K x V state pressures HBM (SURVEY.md section 2.2 "TP")."""
-    lam_spec = P(None, "model") if shard_vocab else P()
+    K x V state pressures HBM (SURVEY.md section 2.2 "TP"), or
+    topic-sharded on "model" (the expert-parallelism analog: each shard
+    owns K/P topics; SURVEY.md section 2.2 "EP").  The two are mutually
+    exclusive ways to split the same matrix."""
+    if shard_vocab and shard_topics:
+        raise ValueError("shard_vocab and shard_topics are exclusive")
+    if shard_vocab:
+        lam_spec, eta_spec, alpha_spec = P(None, "model"), P("model"), P()
+    elif shard_topics:
+        lam_spec, eta_spec, alpha_spec = P("model", None), P(), P("model")
+    else:
+        lam_spec, eta_spec, alpha_spec = P(), P(), P()
     return {
         "lam": lam_spec,
-        "alpha": P(),
-        "eta": P("model") if shard_vocab else P(),
+        "alpha": alpha_spec,
+        "eta": eta_spec,
         "step": P(),
         "key": P(),
     }
@@ -121,12 +133,48 @@ def shard_batch(batch, mesh: Mesh):
     return type(batch)(**put)
 
 
-def shard_state(state, mesh: Mesh, shard_vocab: bool = False):
+def shard_state(
+    state, mesh: Mesh, shard_vocab: bool = False, shard_topics: bool = False
+):
     """device_put an LDAState with the global-state layout."""
-    specs = state_shardings(mesh, shard_vocab)
+    specs = state_shardings(mesh, shard_vocab, shard_topics)
     return type(state)(
         **{
             f: jax.device_put(getattr(state, f), NamedSharding(mesh, specs[f]))
             for f in state._fields
         }
     )
+
+
+# -- debug: cross-device replica consistency ------------------------------------
+
+
+def replica_checksums(state) -> dict:
+    """Per-device checksum of every replicated state array — the
+    cross-host determinism debug mode of SURVEY.md section 5 ("race
+    detection"): after each psum'd M-step, replicated lambda must be
+    bit-identical on every device.  Returns {field: [per-device sums]};
+    assert each list has one unique value."""
+    out = {}
+    for f in state._fields:
+        arr = getattr(state, f)
+        if not hasattr(arr, "addressable_shards"):
+            continue
+        shards = arr.addressable_shards
+        if not shards or any(s.data is None for s in shards):
+            continue
+        sums = [float(np.asarray(s.data, dtype=np.float64).sum())
+                for s in shards]
+        out[f] = sums
+    return out
+
+
+def assert_replicas_consistent(state) -> None:
+    """Raise if any replicated array differs across its device copies."""
+    for f, sums in replica_checksums(state).items():
+        arr = getattr(state, f)
+        if getattr(arr.sharding, "is_fully_replicated", False):
+            if len(set(sums)) > 1:
+                raise AssertionError(
+                    f"replica divergence in state.{f}: {sums}"
+                )

@@ -108,6 +108,10 @@ class LDAConfig:
     # Shard lambda's vocab axis over the "model" mesh axis (tensor
     # parallelism for K*V at K=1000, V=100k; SURVEY.md section 2.2).
     shard_vocab: bool = False
+    # Shard lambda's topic axis instead (the expert-parallelism analog:
+    # each shard owns K/P topics; SURVEY.md section 2.2 "EP").  Exclusive
+    # with shard_vocab.
+    shard_topics: bool = False
 
     # ----- misc -----
     seed: int = 0

@@ -82,6 +82,38 @@ def test_vocab_sharded_lambda_matches(corpus, lam_init):
     )
 
 
+def test_topic_sharded_lambda_matches(corpus, lam_init):
+    """(4 data) x (2 model) mesh with lambda topic-sharded (the EP
+    analog: each model shard owns K/2 topics)."""
+    ref, ref_elbos = _run_vb(corpus, lam_init)
+    mesh = make_mesh(shape=(4, 2))
+    sh, sh_elbos = _run_vb(
+        corpus, lam_init, mesh=mesh, shard_topics=True
+    )
+    for a, b in zip(ref_elbos, sh_elbos):
+        assert abs(a - b) / abs(a) < 1e-4, (ref_elbos, sh_elbos)
+    np.testing.assert_allclose(
+        ref.topic_word_distribution(),
+        sh.topic_word_distribution(),
+        atol=3e-3,
+    )
+
+
+def test_replica_consistency_check(corpus, lam_init):
+    """The cross-device determinism debug mode: replicated lambda must be
+    bit-identical on every device after the psum'd M-step."""
+    from pylda_tpu.parallel.mesh import (
+        assert_replicas_consistent,
+        replica_checksums,
+    )
+
+    mesh = make_mesh(shape=(8, 1))
+    eng, _ = _run_vb(corpus, lam_init, mesh=mesh)
+    sums = replica_checksums(eng.state)
+    assert "lam" in sums and len(sums["lam"]) == 8
+    assert_replicas_consistent(eng.state)
+
+
 def test_sharded_batch_layout(corpus):
     mesh = make_mesh(shape=(8, 1))
     batch = corpus.to_dense(pad_docs_to=64)
