@@ -126,14 +126,12 @@ class Corpus:
     def from_lines(
         cls, lines: Iterable[str], vocab: Vocabulary
     ) -> "Corpus":
-        docs = []
-        for line in lines:
-            toks = line.lower().split()
-            ids = [vocab.get(t) for t in toks]
-            docs.append(
-                np.asarray([i for i in ids if i >= 0], dtype=np.int32)
-            )
-        return cls(docs, vocab)
+        """Reference parser semantics (lowercase, whitespace split, OOV
+        dropped); routed through the native C tokenizer when available
+        (pylda_tpu.native, ASCII fast path with Python fallback)."""
+        from pylda_tpu.native import parse_lines
+
+        return cls(parse_lines(list(lines), vocab), vocab)
 
     @classmethod
     def from_file(cls, path: str, vocab: Vocabulary) -> "Corpus":

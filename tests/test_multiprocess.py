@@ -1,0 +1,94 @@
+"""Two-process jax.distributed training test (SURVEY.md section 4 item 4).
+
+Spawns 2 OS processes that bootstrap via jax.distributed.initialize over
+localhost (Gloo), form one global 4-device ("data", "model") mesh (2 local
+CPU devices per process), and run real doc-sharded VB training — the same
+program text a multi-host TPU pod runs, with the psum'd sufficient stats
+crossing the process boundary.  Asserts both ranks agree bitwise on the
+replicated lambda and that the result matches a single-process run.
+"""
+
+import subprocess
+import sys
+import textwrap
+
+_WORKER = textwrap.dedent("""
+import os, sys
+rank = int(sys.argv[1])
+port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=rank
+)
+import numpy as np
+from pylda_tpu.corpus.synthetic import synthetic_corpus
+from pylda_tpu.models import VariationalBayes
+from pylda_tpu.parallel.mesh import make_mesh
+from pylda_tpu.utils.config import LDAConfig
+
+corpus, _, _ = synthetic_corpus(
+    num_docs=64, num_topics=4, num_types=128, mean_doc_length=30, seed=5
+)
+lam0 = np.random.default_rng(9).gamma(100.0, 0.01, size=(4, 128))
+cfg = LDAConfig(
+    number_of_topics=4, alpha_alpha=0.2, alpha_beta=0.02,
+    inner_iterations=30, doc_pad_multiple=8, seed=0, gamma_init="ones",
+)
+eng = VariationalBayes(cfg)
+eng.initialize(corpus, lam_init=lam0, mesh=make_mesh(shape=(4, 1)))
+elbos = [eng.learning() for _ in range(2)]
+lam_sum = float(np.asarray(eng.state.lam, dtype=np.float64).sum())
+print(f"RESULT rank={rank} elbo0={elbos[0]:.6f} elbo1={elbos[1]:.6f} "
+      f"lam={lam_sum:.6f}", flush=True)
+""")
+
+
+def test_two_process_training_matches_single():
+    port = "12489"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(r), port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-3000:]
+        outs.append(out)
+    results = {}
+    for r, out in enumerate(outs):
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        results[r] = dict(
+            kv.split("=") for kv in line.split()[1:]
+        )
+    # Both ranks see identical replicated state (cross-host determinism).
+    assert results[0]["elbo0"] == results[1]["elbo0"], results
+    assert results[0]["elbo1"] == results[1]["elbo1"], results
+    assert results[0]["lam"] == results[1]["lam"], results
+
+    # And the 2-process result matches an in-process single-mesh run of
+    # the identical configuration.
+    import numpy as np
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import VariationalBayes
+    from pylda_tpu.utils.config import LDAConfig
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=64, num_topics=4, num_types=128, mean_doc_length=30, seed=5
+    )
+    lam0 = np.random.default_rng(9).gamma(100.0, 0.01, size=(4, 128))
+    cfg = LDAConfig(
+        number_of_topics=4, alpha_alpha=0.2, alpha_beta=0.02,
+        inner_iterations=30, doc_pad_multiple=8, seed=0, gamma_init="ones",
+    )
+    eng = VariationalBayes(cfg)
+    eng.initialize(corpus, lam_init=lam0)
+    ref = [eng.learning() for _ in range(2)]
+    assert abs(ref[0] - float(results[0]["elbo0"])) < 1e-3 * abs(ref[0])
+    assert abs(ref[1] - float(results[0]["elbo1"])) < 1e-3 * abs(ref[1])
