@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     # -- misc --
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="float32")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = mixed-precision E-step contractions "
+                        "(bf16 inputs, f32 accumulation)")
     p.add_argument("--gamma_init", default="gamma", choices=["gamma", "ones"])
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace into this directory")
@@ -115,6 +119,7 @@ def config_from_args(args) -> LDAConfig:
         shard_topics=args.shard_topics,
         seed=args.seed,
         dtype=args.dtype,
+        compute_dtype=args.compute_dtype,
         gamma_init=args.gamma_init,
     ).validate()
 

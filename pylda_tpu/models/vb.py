@@ -51,11 +51,13 @@ def _gamma_init(key, shape, dtype, mode):
     jax.jit,
     static_argnames=(
         "inner_iterations", "convergence_threshold", "eps", "gamma_init_mode",
+        "compute_dtype",
     ),
 )
 def _vb_dense_batch(
     counts, mask, lam, alpha, key,
     inner_iterations, convergence_threshold, eps, gamma_init_mode="gamma",
+    compute_dtype="float32",
 ):
     """E-step + per-batch ELBO terms for one dense chunk (one jit round)."""
     exp_elog_beta = exp_dirichlet_expectation(lam)
@@ -67,6 +69,7 @@ def _vb_dense_batch(
         inner_iterations=inner_iterations,
         convergence_threshold=convergence_threshold,
         eps=eps,
+        compute_dtype=compute_dtype,
     )
     theta_score = theta_elbo(gamma, alpha, mask)
     elog_sum = (dirichlet_expectation(gamma) * mask[:, None]).sum(axis=0)
@@ -77,13 +80,13 @@ def _vb_dense_batch(
     jax.jit,
     static_argnames=(
         "num_types", "inner_iterations", "convergence_threshold", "eps",
-        "gamma_init_mode",
+        "gamma_init_mode", "compute_dtype",
     ),
 )
 def _vb_ragged_batch(
     ids, cnts, mask, lam, alpha, key,
     num_types, inner_iterations, convergence_threshold, eps,
-    gamma_init_mode="gamma",
+    gamma_init_mode="gamma", compute_dtype="float32",
 ):
     exp_elog_beta = exp_dirichlet_expectation(lam)
     gamma0 = _gamma_init(
@@ -95,6 +98,7 @@ def _vb_ragged_batch(
         inner_iterations=inner_iterations,
         convergence_threshold=convergence_threshold,
         eps=eps,
+        compute_dtype=compute_dtype,
     )
     theta_score = theta_elbo(gamma, alpha, mask)
     elog_sum = (dirichlet_expectation(gamma) * mask[:, None]).sum(axis=0)
@@ -162,13 +166,14 @@ class VariationalBayes(Inferencer):
                 g, ss, tok, th, el, _ = _vb_dense_batch(
                     b.counts, b.mask, lam, alpha, sub,
                     cfg.inner_iterations, cfg.convergence_threshold, cfg.eps,
-                    cfg.gamma_init,
+                    cfg.gamma_init, cfg.compute_dtype,
                 )
             else:
                 g, ss, tok, th, el, _ = _vb_ragged_batch(
                     b.ids, b.cnts, b.mask, lam, alpha, sub,
                     len(self._vocab), cfg.inner_iterations,
                     cfg.convergence_threshold, cfg.eps, cfg.gamma_init,
+                    cfg.compute_dtype,
                 )
             sstats = ss if sstats is None else sstats + ss
             token_score = token_score + tok

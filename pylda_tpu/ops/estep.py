@@ -33,7 +33,10 @@ from pylda_tpu.ops.dirichlet import exp_dirichlet_expectation
 
 
 @functools.partial(
-    jax.jit, static_argnames=("inner_iterations", "convergence_threshold", "eps")
+    jax.jit,
+    static_argnames=(
+        "inner_iterations", "convergence_threshold", "eps", "compute_dtype"
+    ),
 )
 def estep_dense(
     counts: jnp.ndarray,  # [D, V] float
@@ -43,14 +46,30 @@ def estep_dense(
     inner_iterations: int = 50,
     convergence_threshold: float = 1e-5,
     eps: float = 1e-30,
+    compute_dtype: str = "float32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Dense doc-term E-step: pure matmuls on the MXU."""
-    K = gamma_init.shape[-1]
+    """Dense doc-term E-step: pure matmuls on the MXU.
+
+    ``compute_dtype="bfloat16"`` is the mixed-precision mode the MXU
+    prefers: contraction INPUTS are cast to bf16 with f32 accumulation
+    (preferred_element_type), while gamma, phinorm, and all state stay
+    f32 — halves matmul input bandwidth without touching accumulator
+    precision."""
+    acc = jnp.promote_types(gamma_init.dtype, jnp.float32)
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else acc
+    eeb_c = exp_elog_beta.astype(cdt)
 
     def sweep(gamma, exp_etheta):
-        phinorm = exp_etheta @ exp_elog_beta + eps  # [D, V]
+        phinorm = (
+            jnp.matmul(
+                exp_etheta.astype(cdt), eeb_c, preferred_element_type=acc
+            )
+            + eps
+        )  # [D, V] f32
         ratio = counts / phinorm
-        gamma_new = alpha[None, :] + exp_etheta * (ratio @ exp_elog_beta.T)
+        gamma_new = alpha[None, :] + exp_etheta * jnp.matmul(
+            ratio.astype(cdt), eeb_c.T, preferred_element_type=acc
+        )
         return gamma_new
 
     def cond(carry):
@@ -70,18 +89,26 @@ def estep_dense(
         cond, body, (jnp.int32(0), gamma_init, exp_etheta0, jnp.inf)
     )
 
-    phinorm = exp_etheta @ exp_elog_beta + eps
+    phinorm = (
+        jnp.matmul(exp_etheta.astype(cdt), eeb_c, preferred_element_type=acc)
+        + eps
+    )
     ratio = counts / phinorm
     # sstats[k, v] = sum_d c_dv phi_dvk = expElogbeta_kv * sum_d
     # expEtheta_dk ratio_dv  — the scatter-free matmul form (SURVEY.md 7.1).
-    sstats = exp_elog_beta * (exp_etheta.T @ ratio)
+    sstats = exp_elog_beta * jnp.matmul(
+        exp_etheta.T.astype(cdt), ratio.astype(cdt), preferred_element_type=acc
+    )
     token_score = (counts * jnp.log(phinorm)).sum()
-    del K
     return gamma, sstats, token_score, i
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_types", "inner_iterations", "convergence_threshold", "eps")
+    jax.jit,
+    static_argnames=(
+        "num_types", "inner_iterations", "convergence_threshold", "eps",
+        "compute_dtype",
+    ),
 )
 def estep_ragged(
     ids: jnp.ndarray,  # [D, T] int32 (0 on padded slots)
@@ -93,6 +120,7 @@ def estep_ragged(
     inner_iterations: int = 50,
     convergence_threshold: float = 1e-5,
     eps: float = 1e-30,
+    compute_dtype: str = "float32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Ragged (ids, counts) E-step for large vocabularies.
 
@@ -101,17 +129,22 @@ def estep_ragged(
     every fixed-point sweep is two batched contractions against B.
     Sufficient statistics scatter back via segment_sum over token ids.
     Padded token slots (count 0) are inert everywhere.
+
+    ``compute_dtype="bfloat16"`` stores the gathered B block and the
+    contraction inputs in bf16 (halving the dominant HBM traffic) with
+    f32 accumulation; gamma and all returned statistics stay f32.
     """
     D, T = ids.shape
     K = gamma_init.shape[-1]
-    B = exp_elog_beta.T[ids]  # [D, T, K]
-
-    acc_dtype = jnp.promote_types(B.dtype, jnp.float32)
+    acc_dtype = jnp.promote_types(gamma_init.dtype, jnp.float32)
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else acc_dtype
+    B = exp_elog_beta.T[ids].astype(cdt)  # [D, T, K]
 
     def phinorm_of(exp_etheta):
         return (
             jnp.einsum(
-                "dk,dtk->dt", exp_etheta, B, preferred_element_type=acc_dtype
+                "dk,dtk->dt", exp_etheta.astype(cdt), B,
+                preferred_element_type=acc_dtype,
             )
             + eps
         )
@@ -126,7 +159,8 @@ def estep_ragged(
         i, gamma, exp_etheta, _ = carry
         phinorm = phinorm_of(exp_etheta)
         gamma_new = alpha[None, :] + exp_etheta * jnp.einsum(
-            "dt,dtk->dk", cnts / phinorm, B, preferred_element_type=acc_dtype
+            "dt,dtk->dk", (cnts / phinorm).astype(cdt), B,
+            preferred_element_type=acc_dtype,
         )
         maxchange = jnp.abs(gamma_new - gamma).mean(axis=-1).max()
         return i + 1, gamma_new, exp_dirichlet_expectation(gamma_new), maxchange
@@ -139,7 +173,13 @@ def estep_ragged(
     phinorm = phinorm_of(exp_etheta)
     ratio = cnts / phinorm  # [D, T]
     # W[d, t, k] = c phi (unnormalised phi times count); scatter over v.
-    W = exp_etheta[:, None, :] * B * ratio[:, :, None]
+    # Accumulated in f32 regardless of compute_dtype: segment sums add
+    # across the whole batch.
+    W = (
+        exp_etheta[:, None, :].astype(acc_dtype)
+        * B.astype(acc_dtype)
+        * ratio[:, :, None]
+    )
     sstats = (
         jax.ops.segment_sum(
             W.reshape(D * T, K), ids.reshape(-1), num_segments=num_types

@@ -97,6 +97,11 @@ class LDAConfig:
 
     # ----- numerics -----
     dtype: str = "float32"
+    # Mixed precision for the E-step contractions: "bfloat16" casts the
+    # matmul/gather INPUTS to bf16 (halving the dominant HBM traffic and
+    # engaging the MXU's native dtype) while every accumulator, gamma,
+    # and all state stay float32.  Parity gate: perplexity (tests).
+    compute_dtype: str = "float32"
     # Floor added to phi normalisers before division/log; the f32 analog of
     # the reference-style 1e-100 f64 guard (SURVEY.md section 7.3 "f32 vs
     # f64").
@@ -137,4 +142,6 @@ class LDAConfig:
             raise ValueError("inner_iterations must be positive")
         if not 0.5 < self.kappa <= 1.0:
             raise ValueError("kappa must be in (0.5, 1] for SVI convergence")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown compute_dtype: {self.compute_dtype}")
         return self

@@ -110,6 +110,24 @@ def test_lambda_floor(trained_pair):
     assert float(eng.state.lam.min()) >= 0.01 - 1e-6
 
 
+def test_bfloat16_compute_matches_f32(corpus, lam_init):
+    """Mixed-precision E-step (bf16 contraction inputs, f32 accumulate):
+    perplexity must track the f32 path closely (BASELINE.json:5 parity
+    is judged on perplexity)."""
+    engines = {}
+    for cd in ("float32", "bfloat16"):
+        eng = _engine(corpus, lam_init, compute_dtype=cd)
+        for _ in range(6):
+            elbo = eng.learning()
+        engines[cd] = (eng, elbo)
+    e32, b32 = engines["float32"]
+    e16, b16 = engines["bfloat16"]
+    assert abs(b32 - b16) / abs(b32) < 2e-3, (b32, b16)
+    test = corpus.subset(range(12))
+    p32, p16 = e32.perplexity(test), e16.perplexity(test)
+    assert abs(p32 - p16) / p32 < 5e-3, (p32, p16)
+
+
 def test_elbo_monotone(corpus, lam_init):
     eng = _engine(corpus, lam_init)
     elbos = [eng.learning() for _ in range(6)]
