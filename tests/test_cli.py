@@ -91,6 +91,71 @@ def test_train_then_test_cli(corpus_dir, tmp_path):
     assert (gamma > 0).all()
 
 
+def test_infer_cli_serving(corpus_dir, tmp_path):
+    """pylda-infer: model -> topic mixtures for new documents."""
+    from pylda_tpu.cli.infer import main as infer_main
+
+    out = str(tmp_path / "out_infer")
+    train_main([
+        f"--input_directory={corpus_dir}",
+        f"--output_directory={out}",
+        "--number_of_topics=5",
+        "--training_iterations=3",
+        "--snapshot_interval=3",
+        "--inner_iterations=15",
+        "--seed=1",
+    ])
+    model = glob.glob(os.path.join(out, "*", "*", "model-3"))[0]
+    docs = tmp_path / "new_docs.txt"
+    docs.write_text("government election vote\nrain snow storm weather\n")
+    result = tmp_path / "mixtures.tsv"
+    rc = infer_main([
+        f"--model={model}", f"--input={docs}", f"--output={result}",
+        "--top_topics=3",
+    ])
+    assert rc == 0
+    lines = result.read_text().strip().splitlines()
+    assert len(lines) == 2
+    for ln in lines:
+        pairs = [p.split(":") for p in ln.split("\t")]
+        assert len(pairs) == 3
+        probs = [float(p[1]) for p in pairs]
+        assert all(0 <= p <= 1 for p in probs)
+        assert probs == sorted(probs, reverse=True)
+    # --full emits a normalised K-row per doc
+    rc = infer_main([
+        f"--model={model}", f"--input={docs}", f"--output={result}", "--full",
+    ])
+    theta = np.loadtxt(result)
+    assert theta.shape == (2, 5)
+    np.testing.assert_allclose(theta.sum(axis=1), 1.0, rtol=1e-4)
+
+
+def test_learning_many_matches_learning_loop(corpus_dir, tmp_path):
+    """learning_many(n) must be iteration-for-iteration equivalent to n
+    learning() calls (same hyperopt schedule, same RNG stream)."""
+    from pylda_tpu.corpus.datasets import load_input_directory
+    from pylda_tpu.models import VariationalBayes
+    from pylda_tpu.utils.config import LDAConfig
+
+    train, _, vocab = load_input_directory(corpus_dir)
+    kw = dict(
+        number_of_topics=5, inference_mode="vb", inner_iterations=15,
+        hyper_parameter_optimize_interval=2, seed=3, gamma_init="ones",
+    )
+    a = VariationalBayes(LDAConfig(**kw))
+    a.initialize(train, vocab)
+    ll_loop = [a.learning() for _ in range(4)]
+    b = VariationalBayes(LDAConfig(**kw))
+    b.initialize(train, vocab)
+    ll_scan = b.learning_many(4)
+    for x, y in zip(ll_loop, ll_scan):
+        assert abs(x - y) < 1e-3 * abs(x), (ll_loop, ll_scan)
+    np.testing.assert_allclose(
+        np.asarray(a.state.alpha), np.asarray(b.state.alpha), rtol=1e-5
+    )
+
+
 def test_train_cli_gibbs_with_hyperopt(corpus_dir, tmp_path):
     out = str(tmp_path / "out_gibbs")
     rc = train_main([
