@@ -142,10 +142,12 @@ def _estep_tile_kernel(
 
 def _vmem_need(tile: int, K: int, V: int) -> int:
     # counts (double-buffered) + in-kernel [tile, V] temporaries
-    # (phinorm, ratio, matmul staging) + eeb + sstats accumulator +
-    # gamma work set.  Calibrated against the Mosaic scoped-vmem
-    # accounting (it reported 20.3 MB for tile=512, K=128, V=2048).
-    return 4 * (2 * tile * V + 3 * tile * V + 2 * K * V + 6 * tile * K)
+    # (phinorm, ratio, two matmul staging buffers) + eeb + sstats
+    # accumulator + gamma work set.  Calibrated against Mosaic's
+    # scoped-vmem accounting (17.6 MB reported at tile=512, K=128,
+    # V=512 variants); staying well under the 16 MB limit matters —
+    # borderline fits compile but thrash.
+    return 4 * (2 * tile * V + 4 * tile * V + 2 * K * V + 8 * tile * K)
 
 
 def pick_tile_d(num_docs: int, num_topics: int, num_types: int) -> int:

@@ -12,7 +12,7 @@ equations in SURVEY.md section 8.2 — not ported.  Used for:
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import numpy as np
 from scipy.special import gammaln

@@ -1,5 +1,4 @@
 import numpy as np
-import pytest
 
 from pylda_tpu.corpus import Corpus, Vocabulary, synthetic_corpus
 from pylda_tpu.corpus.datasets import (

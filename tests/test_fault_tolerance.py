@@ -9,7 +9,6 @@ completes with the full set of artifacts.
 
 import glob
 import os
-import signal
 import subprocess
 import sys
 import textwrap

@@ -6,10 +6,8 @@ fixed-point noise floor, and the in-kernel digamma series must match
 scipy to f32 accuracy over the E-step's operating range.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from scipy.special import psi
 
 from pylda_tpu.corpus.synthetic import synthetic_corpus
