@@ -23,6 +23,24 @@ import numpy as np
 
 
 def main() -> int:
+    # The tunneled TPU occasionally wedges (hangs on trivial dispatch)
+    # for a few minutes after killed processes; probe it in a subprocess
+    # with a timeout and wait out a wedge rather than hanging the driver.
+    import subprocess
+
+    for _attempt in range(3):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; print(float(jnp.ones(4).sum()))"],
+                capture_output=True, timeout=600,
+            )
+            if probe.returncode == 0:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(240)
+
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
     import jax
 
@@ -71,9 +89,12 @@ def main() -> int:
         inner_iterations=50, convergence_threshold=1e-6,
     )
     ora.learning()  # warm
-    t0 = time.time()
-    ora.learning()
-    baseline_docs_per_sec = sub_n / (time.time() - t0)
+    best = float("inf")
+    for _ in range(3):  # best-of-3: least-loaded host measurement
+        t0 = time.time()
+        ora.learning()
+        best = min(best, time.time() - t0)
+    baseline_docs_per_sec = sub_n / best
 
     print(
         json.dumps(
