@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gamma_init", default="gamma", choices=["gamma", "ones"])
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace into this directory")
+    p.add_argument("--tensorboard_dir", default=None,
+                   help="write per-iteration scalars (log likelihood, "
+                        "docs/sec, held-out perplexity) as TensorBoard "
+                        "events into this directory")
     p.add_argument("--resume", default=None,
                    help="path to a model-<N> checkpoint to resume from")
     return p
@@ -180,6 +184,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         engine.initialize(train, vocab, mesh=mesh)
         start_iter = 0
 
+    tb_writer = None
+    if args.tensorboard_dir and is_host_zero():
+        try:
+            from flax.metrics import tensorboard as _tb
+
+            tb_writer = _tb.SummaryWriter(args.tensorboard_dir)
+        except Exception as e:  # optional dependency path
+            metrics.log(event="tensorboard_unavailable", error=str(e))
+
     if args.profile_dir:
         import jax
 
@@ -206,6 +219,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 log_likelihood=ll,
                 docs_per_sec=round(train.num_docs / max(dt, 1e-9), 2),
             )
+            if tb_writer is not None:
+                tb_writer.scalar("train/log_likelihood", ll, it + j + 1)
+                tb_writer.scalar(
+                    "train/docs_per_sec",
+                    train.num_docs / max(dt, 1e-9), it + j + 1,
+                )
         it += chunk
         if snap > 0 and it % snap == 0 and is_host_zero():
             engine.export_beta(
@@ -213,11 +232,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
             engine.save(os.path.join(run_dir, f"model-{it}"))
             if test is not None:
+                pp = engine.perplexity(test)
                 metrics.log(
-                    event="heldout",
-                    iteration=it,
-                    perplexity=round(engine.perplexity(test), 4),
+                    event="heldout", iteration=it, perplexity=round(pp, 4)
                 )
+                if tb_writer is not None:
+                    tb_writer.scalar("eval/perplexity", pp, it)
 
     if args.profile_dir:
         import jax
@@ -234,6 +254,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 perplexity=round(engine.perplexity(test), 4),
                 run_dir=run_dir,
             )
+    if tb_writer is not None:
+        tb_writer.flush()
+        tb_writer.close()
     metrics.close()
     return 0
 

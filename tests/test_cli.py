@@ -173,6 +173,24 @@ def test_train_cli_gibbs_with_hyperopt(corpus_dir, tmp_path):
     assert len(runs) == 1
 
 
+def test_train_cli_tensorboard(corpus_dir, tmp_path):
+    out = str(tmp_path / "out_tb")
+    tb = str(tmp_path / "tb")
+    rc = train_main([
+        f"--input_directory={corpus_dir}",
+        f"--output_directory={out}",
+        "--number_of_topics=5",
+        "--training_iterations=2",
+        "--snapshot_interval=2",
+        "--inner_iterations=10",
+        f"--tensorboard_dir={tb}",
+    ])
+    assert rc == 0
+    assert any(
+        "tfevents" in f for f in os.listdir(tb)
+    ), os.listdir(tb)
+
+
 def test_train_cli_resume(corpus_dir, tmp_path):
     out = str(tmp_path / "out_resume")
     train_main([
