@@ -25,10 +25,24 @@ from pylda_tpu.version import __version__
 from pylda_tpu.utils.config import LDAConfig
 from pylda_tpu.corpus.vocabulary import Vocabulary
 from pylda_tpu.corpus.corpus import Corpus
+from pylda_tpu.models import (
+    Hybrid,
+    Inferencer,
+    MonteCarlo,
+    StochasticVariationalBayes,
+    VariationalBayes,
+    make_engine,
+)
 
 __all__ = [
     "__version__",
     "LDAConfig",
     "Vocabulary",
     "Corpus",
+    "Inferencer",
+    "VariationalBayes",
+    "StochasticVariationalBayes",
+    "Hybrid",
+    "MonteCarlo",
+    "make_engine",
 ]
