@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host: ip:port of process 0")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--process_sharded_input", action="store_true",
+                   help="multi-host: each host parses only its contiguous "
+                        "block of doc.dat (dense layout, VB engine)")
     # -- misc --
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="float32")
@@ -157,7 +160,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     if config.mesh_shape is not None:
         mesh = make_mesh(shape=config.mesh_shape)
 
-    train, test, vocab = load_input_directory(args.input_directory)
+    if args.process_sharded_input:
+        import jax
+
+        train, test, vocab = load_input_directory(
+            args.input_directory,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+    else:
+        train, test, vocab = load_input_directory(args.input_directory)
     run_dir = output_run_directory(args, config)
     if is_host_zero():
         os.makedirs(run_dir, exist_ok=True)

@@ -101,7 +101,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 class Corpus:
-    """A tokenised corpus: per-document token-id sequences + vocabulary."""
+    """A tokenised corpus: per-document token-id sequences + vocabulary.
+
+    Multi-host sharded loading (SURVEY.md section 7.3) sets
+    ``process_local=True`` plus ``global_num_docs``/``global_doc_offset``:
+    this instance then holds only the host's contiguous document block,
+    and engines lift batches to global sharded arrays
+    (``pylda_tpu.parallel.mesh.lift_process_local_batch``).
+    """
+
+    process_local: bool = False
+    global_doc_offset: int = 0
 
     def __init__(self, docs: Sequence[np.ndarray], vocab: Vocabulary):
         self.docs: List[np.ndarray] = [
@@ -143,6 +153,15 @@ class Corpus:
     @property
     def num_docs(self) -> int:
         return len(self.docs)
+
+    @property
+    def global_num_docs(self) -> int:
+        """Corpus-wide document count (== num_docs unless process_local)."""
+        return getattr(self, "_global_num_docs", None) or self.num_docs
+
+    @global_num_docs.setter
+    def global_num_docs(self, value: int) -> None:
+        self._global_num_docs = int(value)
 
     @property
     def num_types(self) -> int:

@@ -114,12 +114,22 @@ def bundled_corpus_dir() -> str:
 
 def load_input_directory(
     input_directory: str,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
 ) -> Tuple[Corpus, Optional[Corpus], Vocabulary]:
     """Load the reference's input contract: doc.dat + voc.dat [+ test.dat].
 
     Mirrors upstream:launch_train.py's corpus loading (SURVEY.md section
     3.1 [UNVERIFIED]); if voc.dat is absent the vocabulary is built from the
     training documents (sorted for cross-host determinism).
+
+    Multi-host input pipeline (SURVEY.md section 7.3): pass
+    ``process_index``/``process_count`` and each host parses only its own
+    CONTIGUOUS block of training documents — block p of P, matching the
+    contiguous row blocks a data-axis ``NamedSharding`` assigns to host
+    p's devices.  The returned corpus carries ``process_local=True`` and
+    ``global_num_docs`` so engines scale per-document statistics
+    correctly; the vocabulary and test split stay global.
     """
     doc_path = os.path.join(input_directory, "doc.dat")
     if not os.path.exists(doc_path):
@@ -134,9 +144,22 @@ def load_input_directory(
     if os.path.exists(voc_path):
         vocab = Vocabulary.from_file(voc_path)
     else:
+        # Vocabulary must be identical on every host: full read, sorted.
         with open(doc_path, "r", encoding="utf-8") as f:
             vocab = Vocabulary.from_corpus_lines(f.readlines())
-    train = Corpus.from_file(doc_path, vocab)
+    if process_index is None or process_count in (None, 1):
+        train = Corpus.from_file(doc_path, vocab)
+    else:
+        with open(doc_path, "r", encoding="utf-8") as f:
+            lines = f.readlines()
+        total = len(lines)
+        per = -(-total // process_count)  # ceil: uniform block size
+        lo = min(process_index * per, total)
+        hi = min(lo + per, total)
+        train = Corpus.from_lines(lines[lo:hi], vocab)
+        train.process_local = True
+        train.global_num_docs = total
+        train.global_doc_offset = lo
     test = None
     test_path = os.path.join(input_directory, "test.dat")
     if os.path.exists(test_path):

@@ -43,6 +43,12 @@ class LDAState(NamedTuple):
 class Inferencer:
     """Base class for all inference engines."""
 
+    # Engines that can lift a process-local corpus (multi-host sharded
+    # loading, SURVEY.md section 7.3) into globally-sharded batches set
+    # this True; others must reject such corpora loudly rather than
+    # silently training on different data per host.
+    SUPPORTS_PROCESS_LOCAL = False
+
     def __init__(self, config: LDAConfig):
         self._config = config.validate()
         self._corpus: Optional[Corpus] = None
@@ -99,6 +105,15 @@ class Inferencer:
         self._corpus = corpus
         self._vocab = vocab if vocab is not None else corpus.vocab
         self._mesh = mesh
+        if (
+            getattr(corpus, "process_local", False)
+            and jax.process_count() > 1
+            and not self.SUPPORTS_PROCESS_LOCAL
+        ):
+            raise NotImplementedError(
+                f"{type(self).__name__} does not support process-sharded "
+                "corpora; load the full corpus on every host instead"
+            )
         if mesh is not None and cfg.doc_pad_multiple % mesh.shape["data"]:
             raise ValueError(
                 "doc_pad_multiple must be divisible by the data-axis size"

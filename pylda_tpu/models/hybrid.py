@@ -33,6 +33,10 @@ from pylda_tpu.ops.sampling import (
 class Hybrid(VariationalBayes):
     """VB global step + within-doc Gibbs local step."""
 
+    # Minibatch streaming / sequence layouts not yet lifted to
+    # process-local global batches (SURVEY.md section 7.3).
+    SUPPORTS_PROCESS_LOCAL = False
+
     def _build_batches(self, corpus: Corpus) -> List[SequenceBucket]:
         cfg = self._config
         return self._maybe_shard(

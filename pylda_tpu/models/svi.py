@@ -42,6 +42,10 @@ from pylda_tpu.ops.hyper import newton_dirichlet_mle
 class StochasticVariationalBayes(VariationalBayes):
     """SVI: minibatch natural-gradient ascent on lambda."""
 
+    # Minibatch streaming / sequence layouts not yet lifted to
+    # process-local global batches (SURVEY.md section 7.3).
+    SUPPORTS_PROCESS_LOCAL = False
+
     def _prepare(self, corpus: Corpus) -> None:
         self._gamma_np = None
         self._gammas_dev = None

@@ -113,7 +113,32 @@ def _elog_lambda_sum(lam):
 class VariationalBayes(Inferencer):
     """Batch VB over the full corpus each iteration."""
 
+    SUPPORTS_PROCESS_LOCAL = True
+
     def _build_batches(self, corpus: Corpus) -> List[layouts.VBBatch]:
+        if (
+            getattr(corpus, "process_local", False)
+            and self._mesh is not None
+            and jax.process_count() > 1
+        ):
+            # Multi-host input pipeline: this host parsed only its
+            # contiguous doc block; pad it to the uniform per-host row
+            # count and lift to one globally-sharded batch (SURVEY.md
+            # section 7.3).  Dense layout only for now.
+            from pylda_tpu.parallel.mesh import lift_process_local_batch
+
+            cfg = self._config
+            if corpus.num_types > cfg.dense_vocab_threshold:
+                raise NotImplementedError(
+                    "process-sharded input currently requires the dense "
+                    "layout (vocabulary <= dense_vocab_threshold)"
+                )
+            P = jax.process_count()
+            rows = -(-corpus.global_num_docs // P)
+            rows = ((rows + cfg.doc_pad_multiple - 1)
+                    // cfg.doc_pad_multiple) * cfg.doc_pad_multiple
+            local = corpus.to_dense(pad_docs_to=rows)
+            return [lift_process_local_batch(local, self._mesh)]
         return self._maybe_shard(
             layouts.build_vb_batches(corpus, self._config)
         )
@@ -199,7 +224,8 @@ class VariationalBayes(Inferencer):
         alpha_new, eta_new = state.alpha, state.eta
         if update_hypers:
             alpha_new = newton_dirichlet_mle(
-                state.alpha, elog_sum, jnp.asarray(self._corpus.num_docs)
+                state.alpha, elog_sum,
+                jnp.asarray(self._corpus.global_num_docs),
             )
             eta_new = newton_dirichlet_mle(
                 state.eta,
@@ -291,9 +317,11 @@ class VariationalBayes(Inferencer):
         """Per-document gamma [D, K] in corpus order (host array,
         assembled on first access)."""
         if self._gamma_np is None and self._gammas_dev is not None:
+            from pylda_tpu.parallel.mesh import host_gather
+
             self._gamma_np = layouts.assemble_gamma(
-                self._gamma_batches,
-                [np.asarray(g) for g in self._gammas_dev],
+                [jax.tree.map(host_gather, b) for b in self._gamma_batches],
+                [host_gather(g) for g in self._gammas_dev],
                 self._corpus.num_docs,
                 np.asarray(self.state.alpha),
             )
@@ -310,10 +338,12 @@ class VariationalBayes(Inferencer):
         gammas, _, token_score, theta_score, _ = self._run_estep(
             batches, st.lam, st.alpha, key
         )
+        from pylda_tpu.parallel.mesh import host_gather
+
         ll = float(token_score + theta_score)
         gamma = layouts.assemble_gamma(
-            batches,
-            [np.asarray(g) for g in gammas],
+            [jax.tree.map(host_gather, b) for b in batches],
+            [host_gather(g) for g in gammas],
             test_corpus.num_docs,
             np.asarray(st.alpha),
         )

@@ -146,6 +146,41 @@ def shard_state(
     )
 
 
+def host_gather(x) -> np.ndarray:
+    """Bring a (possibly cross-process sharded) array to this host.
+
+    np.asarray works only on fully-addressable arrays; multi-host shards
+    go through an allgather (jax.experimental.multihost_utils)."""
+    if not hasattr(x, "is_fully_addressable") or x.is_fully_addressable:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def lift_process_local_batch(batch, mesh: Mesh):
+    """Assemble a globally-sharded batch from per-process LOCAL data.
+
+    The multi-host input pipeline (SURVEY.md section 7.3): each host
+    parses only its contiguous document block and pads it to the uniform
+    per-host row count; this lifts those local arrays into one global
+    jax.Array per field via ``jax.make_array_from_process_local_data``
+    with the standard document sharding — no host ever materialises the
+    full corpus.  All hosts must pass identically-shaped locals (the
+    loader's ceil-block split guarantees it)."""
+    specs = batch_shardings(mesh, batch)
+    nproc = jax.process_count()
+
+    def lift(field, spec):
+        local = np.asarray(getattr(batch, field))
+        global_shape = (local.shape[0] * nproc,) + local.shape[1:]
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), local, global_shape
+        )
+
+    return type(batch)(**{f: lift(f, s) for f, s in specs.items()})
+
+
 # -- debug: cross-device replica consistency ------------------------------------
 
 

@@ -46,6 +46,87 @@ print(f"RESULT rank={rank} elbo0={elbos[0]:.6f} elbo1={elbos[1]:.6f} "
 """)
 
 
+_SHARDED_WORKER = textwrap.dedent("""
+import os, sys
+rank = int(sys.argv[1]); port = sys.argv[2]; corpus_dir = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=rank
+)
+import numpy as np
+from pylda_tpu.corpus.datasets import load_input_directory
+from pylda_tpu.models import VariationalBayes
+from pylda_tpu.parallel.mesh import make_mesh
+from pylda_tpu.utils.config import LDAConfig
+
+train, test, vocab = load_input_directory(
+    corpus_dir, process_index=rank, process_count=2
+)
+assert train.process_local and train.global_num_docs == 120, (
+    train.num_docs, train.global_num_docs)
+assert train.num_docs == 60
+cfg = LDAConfig(
+    number_of_topics=5, inner_iterations=20, doc_pad_multiple=4, seed=0,
+    gamma_init="ones",
+)
+eng = VariationalBayes(cfg)
+eng.initialize(train, vocab, mesh=make_mesh(shape=(4, 1)))
+elbos = [eng.learning() for _ in range(3)]
+lam_sum = float(np.asarray(eng.state.lam, dtype=np.float64).sum())
+pp = eng.perplexity(test)
+print(f"RESULT rank={rank} elbo={elbos[-1]:.4f} lam={lam_sum:.4f} "
+      f"pp={pp:.4f}", flush=True)
+""")
+
+
+def test_two_process_sharded_input_matches_full_load(tmp_path):
+    """Each host parses only its half of doc.dat; training must match a
+    single-process full-corpus run (same math, psum'd stats)."""
+    from pylda_tpu.corpus.datasets import (
+        load_input_directory,
+        make_denews_tiny,
+    )
+    from pylda_tpu.models import VariationalBayes
+    from pylda_tpu.utils.config import LDAConfig
+
+    corpus_dir = str(tmp_path / "corpus")
+    make_denews_tiny(corpus_dir, num_train=120, num_test=30,
+                     mean_doc_length=25)
+
+    port = "12493"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _SHARDED_WORKER, str(r), port, corpus_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for r in range(2)
+    ]
+    results = {}
+    for r, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-3000:]
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        results[r] = dict(kv.split("=") for kv in line.split()[1:])
+    assert results[0]["lam"] == results[1]["lam"], results
+
+    # Single-process reference on the SAME full corpus, padded to the
+    # same global row count (2 hosts x 60 rows -> same batch layout).
+    train, test, vocab = load_input_directory(corpus_dir)
+    cfg = LDAConfig(
+        number_of_topics=5, inner_iterations=20, doc_pad_multiple=4, seed=0,
+        gamma_init="ones",
+    )
+    eng = VariationalBayes(cfg)
+    eng.initialize(train, vocab)
+    ref = [eng.learning() for _ in range(3)]
+    ref_pp = eng.perplexity(test)
+    assert abs(ref[-1] - float(results[0]["elbo"])) < 1e-3 * abs(ref[-1]), (
+        ref, results)
+    assert abs(ref_pp - float(results[0]["pp"])) < 1e-2 * ref_pp
+
+
 def test_two_process_training_matches_single():
     port = "12489"
     procs = [
