@@ -104,6 +104,7 @@ def main() -> int:
                 "unit": "docs/s",
                 "vs_baseline": round(docs_per_sec / baseline_docs_per_sec, 2),
                 "baseline_docs_per_sec": round(baseline_docs_per_sec, 2),
+                "tokens_per_sec": round(corpus.num_tokens / dt, 1),
                 "seconds_per_corpus_pass": round(dt, 4),
                 "elbo": round(float(elbo), 1),
                 "device": str(jax.devices()[0]),
