@@ -94,6 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "events into this directory")
     p.add_argument("--resume", default=None,
                    help="path to a model-<N> checkpoint to resume from")
+    p.add_argument("--dump_gamma", action="store_true",
+                   help="also write per-document gamma-<N> at snapshots "
+                        "(SURVEY.md section 9 open question 3)")
     return p
 
 
@@ -243,6 +246,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                 os.path.join(run_dir, f"exp_beta-{it}"), top_k=50
             )
             engine.save(os.path.join(run_dir, f"model-{it}"))
+            if args.dump_gamma and getattr(engine, "gamma", None) is not None:
+                import numpy as np
+
+                np.savetxt(
+                    os.path.join(run_dir, f"gamma-{it}"),
+                    engine.gamma, fmt="%.8g", delimiter="\t",
+                )
             if test is not None:
                 pp = engine.perplexity(test)
                 metrics.log(

@@ -57,6 +57,7 @@ def test_train_then_test_cli(corpus_dir, tmp_path):
         "--snapshot_interval=2",
         "--inner_iterations=20",
         "--seed=1",
+        "--dump_gamma",
     ])
     assert rc == 0
     runs = glob.glob(os.path.join(out, "*", "*"))
@@ -65,7 +66,7 @@ def test_train_then_test_cli(corpus_dir, tmp_path):
     # Config encoded into the run dir name (reference contract).
     assert "-lda-I4-S2-K5-" in run and run.endswith("-imvb")
     for f in ["exp_beta-2", "exp_beta-4", "model-2", "model-4",
-              "metrics.jsonl"]:
+              "gamma-2", "gamma-4", "metrics.jsonl"]:
         assert os.path.exists(os.path.join(run, f)), f
 
     # exp_beta format: header lines + word\tprob lines, descending prob.
