@@ -46,6 +46,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     train, test, _ = _load_with_vocab(args.input_directory, vocab)
     corpus = train if (args.use_train_split or test is None) else test
+    if corpus is None:
+        raise SystemExit(
+            f"no evaluable split in {args.input_directory}: "
+            + ("doc.dat missing (needed for --use_train_split)"
+               if args.use_train_split else "doc.dat and test.dat missing")
+        )
 
     ll, gamma = engine.inference(corpus)
     perplexity = float(np.exp(-ll / max(1, corpus.num_tokens)))

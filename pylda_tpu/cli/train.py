@@ -191,7 +191,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from pylda_tpu.models import Inferencer, make_engine
 
     if args.resume:
-        engine = Inferencer.load(args.resume, corpus=train)
+        engine = Inferencer.load(args.resume, corpus=train, mesh=mesh)
         start_iter = engine._counter
         metrics.log(event="resume", checkpoint=args.resume, iteration=start_iter)
     else:
@@ -241,24 +241,28 @@ def main(argv: Optional[List[str]] = None) -> int:
                     train.num_docs / max(dt, 1e-9), it + j + 1,
                 )
         it += chunk
-        if snap > 0 and it % snap == 0 and is_host_zero():
+        # Snapshot work runs on EVERY host — export_beta/save/gamma
+        # gather sharded state collectively and write from host 0 only;
+        # perplexity's frozen-lambda E-step is likewise collective.
+        if snap > 0 and it % snap == 0:
             engine.export_beta(
                 os.path.join(run_dir, f"exp_beta-{it}"), top_k=50
             )
             engine.save(os.path.join(run_dir, f"model-{it}"))
             if args.dump_gamma and getattr(engine, "gamma", None) is not None:
-                import numpy as np
+                if is_host_zero():
+                    import numpy as np
 
-                np.savetxt(
-                    os.path.join(run_dir, f"gamma-{it}"),
-                    engine.gamma, fmt="%.8g", delimiter="\t",
-                )
+                    np.savetxt(
+                        os.path.join(run_dir, f"gamma-{it}"),
+                        engine.gamma, fmt="%.8g", delimiter="\t",
+                    )
             if test is not None:
                 pp = engine.perplexity(test)
                 metrics.log(
                     event="heldout", iteration=it, perplexity=round(pp, 4)
                 )
-                if tb_writer is not None:
+                if tb_writer is not None and is_host_zero():
                     tb_writer.scalar("eval/perplexity", pp, it)
 
     if args.profile_dir:
@@ -267,15 +271,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         jax.profiler.stop_trace()
 
     n = config.training_iterations
-    if is_host_zero():
-        engine.export_beta(os.path.join(run_dir, f"exp_beta-{n}"), top_k=50)
-        engine.save(os.path.join(run_dir, f"model-{n}"))
-        if test is not None:
-            metrics.log(
-                event="final",
-                perplexity=round(engine.perplexity(test), 4),
-                run_dir=run_dir,
-            )
+    # Every host participates (collective gathers/evals); host 0 writes.
+    engine.export_beta(os.path.join(run_dir, f"exp_beta-{n}"), top_k=50)
+    engine.save(os.path.join(run_dir, f"model-{n}"))
+    if test is not None:
+        metrics.log(
+            event="final",
+            perplexity=round(engine.perplexity(test), 4),
+            run_dir=run_dir,
+        )
     if tb_writer is not None:
         tb_writer.flush()
         tb_writer.close()

@@ -96,8 +96,7 @@ for _cls in (DenseBatch, RaggedBucket, SequenceBucket):
     )
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from pylda_tpu.utils import round_up as _round_up
 
 
 class Corpus:

@@ -189,15 +189,27 @@ class Inferencer:
 
     def topic_word_distribution(self) -> np.ndarray:
         """Normalised topic-word matrix E[beta] [K, V] (engine-specific
-        estimator; default: variational mean lambda_kv / sum_v lambda_kv)."""
-        lam = np.asarray(self.state.lam, dtype=np.float64)
+        estimator; default: variational mean lambda_kv / sum_v lambda_kv).
+
+        Collective when lambda is sharded across hosts (host_gather) —
+        every process must call this together."""
+        from pylda_tpu.parallel.mesh import host_gather
+
+        lam = host_gather(self.state.lam).astype(np.float64)
         return lam / lam.sum(axis=1, keepdims=True)
 
     def export_beta(self, path: str, top_k: int = 50) -> None:
         """Write the reference's exp_beta format (SURVEY.md section 3.5):
         per topic a ``==========\\t<k>\\t==========`` header, then the top
-        ``top_k`` types by descending p(w|k), one per line."""
+        ``top_k`` types by descending p(w|k), one per line.
+
+        Call from EVERY process (the state gather is collective under
+        cross-host sharding); only host 0 writes the file."""
+        from pylda_tpu.utils.metrics import is_host_zero
+
         beta = self.topic_word_distribution()
+        if not is_host_zero():
+            return
         assert self._vocab is not None
         with open(path, "w", encoding="utf-8") as f:
             for k in range(beta.shape[0]):
@@ -217,12 +229,18 @@ class Inferencer:
 
     def save(self, path: str) -> None:
         """Serialise (state pytree, vocab, config) — the sharding-aware
-        analog of the reference's ``cPickle.dump(engine, model-<N>)``."""
+        analog of the reference's ``cPickle.dump(engine, model-<N>)``.
+
+        Call from EVERY process (gathers are collective when state is
+        sharded across hosts); only host 0 writes the file."""
+        from pylda_tpu.parallel.mesh import host_gather
+        from pylda_tpu.utils.metrics import is_host_zero
+
         st = self.state
         blobs = {
-            "lam": np.asarray(st.lam),
-            "alpha": np.asarray(st.alpha),
-            "eta": np.asarray(st.eta),
+            "lam": host_gather(st.lam),
+            "alpha": host_gather(st.alpha),
+            "eta": host_gather(st.eta),
             "step": np.asarray(st.step),
             "key": np.asarray(st.key),
             "vocab": np.asarray(self._vocab.types if self._vocab else []),
@@ -241,16 +259,22 @@ class Inferencer:
         blobs["meta_json"] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8
         )
+        if not is_host_zero():
+            return
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         with open(path, "wb") as f:
             np.savez(f, **blobs)
 
     @staticmethod
-    def load(path: str, corpus: Optional[Corpus] = None) -> "Inferencer":
+    def load(
+        path: str, corpus: Optional[Corpus] = None, mesh=None
+    ) -> "Inferencer":
         """Restore an engine from a ``model-<N>`` checkpoint.
 
         If ``corpus`` is given the engine is fully re-initialised for
-        continued training; otherwise only inference/export are available.
+        continued training (pass ``mesh`` to resume sharded — elastic:
+        the chip count may differ from the saving run); otherwise only
+        inference/export are available.
         """
         from pylda_tpu import models as _models
 
@@ -282,5 +306,29 @@ class Inferencer:
         )
         if corpus is not None:
             engine._corpus = corpus
+            engine._mesh = mesh
+            if (
+                getattr(corpus, "process_local", False)
+                and jax.process_count() > 1
+                and not engine.SUPPORTS_PROCESS_LOCAL
+            ):
+                raise NotImplementedError(
+                    f"{type(engine).__name__} does not support "
+                    "process-sharded corpora"
+                )
+            if mesh is not None:
+                if config.doc_pad_multiple % mesh.shape["data"]:
+                    raise ValueError(
+                        "doc_pad_multiple must be divisible by the "
+                        "data-axis size"
+                    )
+                from pylda_tpu.parallel.mesh import shard_state
+
+                # Elastic resume: re-shard the loaded (replicated) state
+                # for the current mesh (SURVEY.md section 5).
+                engine._state = shard_state(
+                    engine._state, mesh, config.shard_vocab,
+                    config.shard_topics,
+                )
             engine._prepare(corpus)
         return engine

@@ -136,17 +136,21 @@ class MonteCarlo(Inferencer):
         return n_kv_new, tuple(z_out), tuple(ndk_out), ll
 
     def _sweep_scan(self, alpha, eta, key, n_kv, zs, buckets, n):
+        # ndk rides in the carry (only the final sweep's tables are
+        # needed) — stacking it as a scan output would hold an
+        # O(n * D * K) history in HBM for nothing.
+        ndk0 = tuple(jnp.zeros_like(ndk) for ndk in self._ndk)
+
         def body(carry, i):
-            n_kv, zs = carry
+            n_kv, zs, _ndk = carry
             n_kv_new, z_new, ndk_new, ll = self._sweep(
                 alpha, eta, jax.random.fold_in(key, i), n_kv, zs, buckets
             )
-            return (n_kv_new, z_new), (ll, ndk_new)
+            return (n_kv_new, z_new, ndk_new), ll
 
-        (n_kv, zs), (lls, ndks) = jax.lax.scan(
-            body, (n_kv, tuple(zs)), jnp.arange(n)
+        (n_kv, zs, ndk_last), lls = jax.lax.scan(
+            body, (n_kv, tuple(zs), ndk0), jnp.arange(n)
         )
-        ndk_last = jax.tree.map(lambda x: x[-1], ndks)
         return n_kv, zs, ndk_last, lls
 
     def _likelihood(self, alpha, beta, n_kv, ndks, masks):
@@ -335,10 +339,12 @@ class MonteCarlo(Inferencer):
     # -- checkpoint extras ------------------------------------------------------------
 
     def _extra_state(self) -> dict:
-        d = {"n_kv": np.asarray(self._n_kv)}
+        from pylda_tpu.parallel.mesh import host_gather
+
+        d = {"n_kv": host_gather(self._n_kv)}
         for i, z in enumerate(self._z):
-            d[f"z_{i}"] = np.asarray(z)
-            d[f"ndk_{i}"] = np.asarray(self._ndk[i])
+            d[f"z_{i}"] = host_gather(z)
+            d[f"ndk_{i}"] = host_gather(self._ndk[i])
         return d
 
     def _load_extra_state(self, blobs: dict) -> None:

@@ -19,8 +19,7 @@ from pylda_tpu.utils.config import LDAConfig
 VBBatch = Union[DenseBatch, RaggedBucket]
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from pylda_tpu.utils import round_up as _round_up
 
 
 def _split_rows(n_rows: int, chunk: int, pad_multiple: int) -> List[int]:
@@ -76,8 +75,12 @@ def build_vb_batches(
         if rows <= budget_rows:
             out.append(b)
             continue
-        for s in range(0, rows, budget_rows):
-            e = min(rows, s + budget_rows)
+        # Chunk on pad-multiple boundaries (like the dense path) so every
+        # chunk keeps the doc_pad_multiple invariant mesh sharding
+        # relies on; bucket rows are already a multiple of pad.
+        s = 0
+        for size in _split_rows(rows, budget_rows, pad):
+            e = min(rows, s + size)
             out.append(
                 RaggedBucket(
                     ids=b.ids[s:e],
@@ -86,6 +89,7 @@ def build_vb_batches(
                     doc_ids=b.doc_ids[s:e],
                 )
             )
+            s = e
     return out
 
 

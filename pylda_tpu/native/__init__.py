@@ -65,12 +65,18 @@ def parse_lines(
     if not HAVE_NATIVE:
         return _python_parse(lines, vocab)
     if isinstance(lines, str):
-        text = lines
+        line_list = lines.splitlines()
     else:
         # Normalise: strip any line terminators, one document per line.
-        text = "\n".join(l.rstrip("\r\n") for l in lines)
+        line_list = [l.rstrip("\r\n") for l in lines]
+    text = "\n".join(line_list)
     if not text.isascii():
-        return _python_parse(text.splitlines(), vocab)
+        return _python_parse(line_list, vocab)
     if table is None:
         table = NativeVocabTable(vocab.types)
-    return table.parse_bytes(text.encode("ascii"))
+    docs = table.parse_bytes(text.encode("ascii"))
+    # "\n".join can't represent trailing empty lines distinctly; restore
+    # them so document counts match the Python parser exactly.
+    while len(docs) < len(line_list):
+        docs.append(np.zeros((0,), np.int32))
+    return docs

@@ -159,22 +159,30 @@ static PyObject *py_parse(PyObject *self, PyObject *args) {
             while (p < line_end && !is_space(buf[p])) p++;
             size_t tn = p - t0;
             if (tn == 0) continue;
-            if (tn < sizeof(tokbuf)) {
-                for (size_t j = 0; j < tn; j++) {
-                    char c = buf[t0 + j];
-                    tokbuf[j] = (c >= 'A' && c <= 'Z') ? (char)(c + 32) : c;
+            /* Stack buffer for the common case; heap for rare giant
+             * tokens so semantics match the Python parser exactly. */
+            char *tok = tokbuf;
+            char *heap = NULL;
+            if (tn >= sizeof(tokbuf)) {
+                heap = (char *)malloc(tn);
+                if (!heap) { ids_n = SIZE_MAX; break; }
+                tok = heap;
+            }
+            for (size_t j = 0; j < tn; j++) {
+                char c = buf[t0 + j];
+                tok[j] = (c >= 'A' && c <= 'Z') ? (char)(c + 32) : c;
+            }
+            int32_t id = strmap_get(m, tok, tn);
+            free(heap);
+            if (id >= 0) {
+                if (ids_n == ids_cap) {
+                    ids_cap <<= 1;
+                    int32_t *nids =
+                        (int32_t *)realloc(ids, ids_cap * sizeof(int32_t));
+                    if (!nids) { ids_n = SIZE_MAX; break; }
+                    ids = nids;
                 }
-                int32_t id = strmap_get(m, tokbuf, tn);
-                if (id >= 0) {
-                    if (ids_n == ids_cap) {
-                        ids_cap <<= 1;
-                        int32_t *nids =
-                            (int32_t *)realloc(ids, ids_cap * sizeof(int32_t));
-                        if (!nids) { ids_n = SIZE_MAX; break; }
-                        ids = nids;
-                    }
-                    ids[ids_n++] = id;
-                }
+                ids[ids_n++] = id;
             }
         }
         if (ids_n == SIZE_MAX) break;

@@ -34,8 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under ~16 MB/core
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from pylda_tpu.utils import round_up as _round_up
 
 
 def digamma_approx(x):
@@ -154,7 +153,9 @@ def pick_tile_d(num_docs: int, num_topics: int, num_types: int) -> int:
     """Largest row tile whose VMEM working set (double-buffered counts
     tile + topic matrix + sstats accumulator) fits the budget; 0 when
     even the smallest tile does not fit."""
-    K = _round_up(num_topics, 8)
+    # The kernel pads the topic axis to the 128-lane boundary — budget
+    # with the PADDED K or small-K shapes under-estimate the working set.
+    K = _round_up(num_topics, 128)
     V = _round_up(num_types, 128)
     for tile in (512, 256, 128, 64, 32, 16, 8):
         if tile <= _round_up(num_docs, 8) and _vmem_need(tile, K, V) < _VMEM_BUDGET:

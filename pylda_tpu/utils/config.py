@@ -144,4 +144,10 @@ class LDAConfig:
             raise ValueError("kappa must be in (0.5, 1] for SVI convergence")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown compute_dtype: {self.compute_dtype}")
+        if self.gamma_init not in ("gamma", "ones"):
+            raise ValueError(f"unknown gamma_init: {self.gamma_init}")
+        if self.use_pallas not in ("never", "always"):
+            raise ValueError(f"unknown use_pallas: {self.use_pallas}")
+        if self.shard_vocab and self.shard_topics:
+            raise ValueError("shard_vocab and shard_topics are exclusive")
         return self

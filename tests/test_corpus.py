@@ -119,3 +119,32 @@ def test_synthetic_corpus_shapes():
     assert theta.shape == (10, 4)
     np.testing.assert_allclose(beta.sum(1), 1.0, rtol=1e-9)
     assert corpus.num_docs == 10
+
+
+def test_ragged_chunking_respects_pad_multiple():
+    """Oversized buckets split on doc_pad_multiple boundaries (the mesh
+    sharding invariant; regression for raw-budget slicing)."""
+    from pylda_tpu.models.layouts import build_vb_batches
+    from pylda_tpu.utils.config import LDAConfig
+
+    rng = np.random.default_rng(0)
+    docs = [rng.integers(0, 5000, 40).astype(np.int32) for _ in range(640)]
+    vocab = Vocabulary(f"w{i}" for i in range(5000))
+    corpus = Corpus(docs, vocab)
+    cfg = LDAConfig(number_of_topics=8, doc_pad_multiple=64,
+                    dense_vocab_threshold=64, bucket_sizes=(64,))
+    batches = build_vb_batches(corpus, cfg, memory_budget_mb=1)
+    assert len(batches) > 1  # the tiny budget forces chunking
+    for b in batches:
+        assert b.ids.shape[0] % 64 == 0, b.ids.shape
+
+
+def test_config_validates_enums():
+    from pylda_tpu.utils.config import LDAConfig
+    import pytest as _pytest
+
+    for bad in (dict(gamma_init="zeros"), dict(use_pallas="auto"),
+                dict(compute_dtype="fp8"),
+                dict(shard_vocab=True, shard_topics=True)):
+        with _pytest.raises(ValueError):
+            LDAConfig(number_of_topics=4, **bad).validate()

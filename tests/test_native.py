@@ -81,3 +81,25 @@ def test_native_speedup_on_large_input():
         np.testing.assert_array_equal(g, w)
     # The native path must actually be faster (typically 5-20x).
     assert t_nat < t_py, (t_nat, t_py)
+
+
+def test_trailing_blank_line_parity(vocab):
+    """A trailing blank line must produce an empty doc on BOTH paths
+    (the native text join cannot represent it; the wrapper restores it)."""
+    lines = ["apple banana", ""]
+    got = parse_lines(lines, vocab)
+    want = _python_parse(lines, vocab)
+    assert len(got) == len(want) == 2
+    assert got[1].size == 0
+
+
+@needs_native
+def test_very_long_token_parity():
+    """Tokens >= 256 bytes go through the heap path and still match."""
+    long_tok = "x" * 300
+    vocab = Vocabulary(["short", long_tok])
+    lines = [f"short {long_tok} short"]
+    got = parse_lines(lines, vocab)
+    want = _python_parse(lines, vocab)
+    np.testing.assert_array_equal(got[0], want[0])
+    assert got[0].size == 3
