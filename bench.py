@@ -28,7 +28,7 @@ def main() -> int:
     # with a timeout and wait out a wedge rather than hanging the driver.
     import subprocess
 
-    for _attempt in range(3):
+    for attempt in range(3):
         try:
             probe = subprocess.run(
                 [sys.executable, "-c",
@@ -37,9 +37,12 @@ def main() -> int:
             )
             if probe.returncode == 0:
                 break
+            # Instant non-zero exit = real breakage, not a wedge; the
+            # main path will surface the error — don't burn retries.
+            break
         except subprocess.TimeoutExpired:
-            pass
-        time.sleep(240)
+            if attempt < 2:
+                time.sleep(240)  # wait out the wedge, then re-probe
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
     import jax

@@ -177,12 +177,25 @@ def main(argv: Optional[List[str]] = None) -> int:
     if is_host_zero():
         os.makedirs(run_dir, exist_ok=True)
     metrics = MetricsLogger(run_dir)
+    # In process-sharded mode each host holds 1/P of the docs; report
+    # corpus-wide counts (token total via a cross-host sum).
+    global_docs = train.global_num_docs
+    global_tokens = train.num_tokens
+    if getattr(train, "process_local", False):
+        import jax
+        from jax.experimental import multihost_utils
+
+        global_tokens = int(
+            multihost_utils.process_allgather(
+                jax.numpy.asarray(train.num_tokens)
+            ).sum()
+        )
     metrics.log(
         event="start",
         corpus=args.input_directory,
-        documents=train.num_docs,
+        documents=global_docs,
         types=len(vocab),
-        tokens=train.num_tokens,
+        tokens=global_tokens,
         mode=config.inference_mode,
         K=config.number_of_topics,
         mesh=str(config.mesh_shape),
@@ -232,13 +245,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                 iteration=it + j + 1,
                 seconds=round(dt, 3),
                 log_likelihood=ll,
-                docs_per_sec=round(train.num_docs / max(dt, 1e-9), 2),
+                docs_per_sec=round(global_docs / max(dt, 1e-9), 2),
             )
             if tb_writer is not None:
                 tb_writer.scalar("train/log_likelihood", ll, it + j + 1)
                 tb_writer.scalar(
                     "train/docs_per_sec",
-                    train.num_docs / max(dt, 1e-9), it + j + 1,
+                    global_docs / max(dt, 1e-9), it + j + 1,
                 )
         it += chunk
         # Snapshot work runs on EVERY host — export_beta/save/gamma

@@ -144,19 +144,25 @@ def load_input_directory(
     if os.path.exists(voc_path):
         vocab = Vocabulary.from_file(voc_path)
     else:
-        # Vocabulary must be identical on every host: full read, sorted.
+        # Vocabulary must be identical on every host: streamed full pass
+        # (token set only — no line buffering), sorted.
         with open(doc_path, "r", encoding="utf-8") as f:
-            vocab = Vocabulary.from_corpus_lines(f.readlines())
+            vocab = Vocabulary.from_corpus_lines(f)
     if process_index is None or process_count in (None, 1):
         train = Corpus.from_file(doc_path, vocab)
     else:
+        # Stream: count lines (cheap pass), then buffer ONLY this host's
+        # window — no host materialises the full corpus text.
         with open(doc_path, "r", encoding="utf-8") as f:
-            lines = f.readlines()
-        total = len(lines)
+            total = sum(1 for _ in f)
         per = -(-total // process_count)  # ceil: uniform block size
         lo = min(process_index * per, total)
         hi = min(lo + per, total)
-        train = Corpus.from_lines(lines[lo:hi], vocab)
+        import itertools
+
+        with open(doc_path, "r", encoding="utf-8") as f:
+            window = list(itertools.islice(f, lo, hi))
+        train = Corpus.from_lines(window, vocab)
         train.process_local = True
         train.global_num_docs = total
         train.global_doc_offset = lo

@@ -118,7 +118,6 @@ class VariationalBayes(Inferencer):
     def _build_batches(self, corpus: Corpus) -> List[layouts.VBBatch]:
         if (
             getattr(corpus, "process_local", False)
-            and self._mesh is not None
             and jax.process_count() > 1
         ):
             # Multi-host input pipeline: this host parsed only its
@@ -128,6 +127,12 @@ class VariationalBayes(Inferencer):
             from pylda_tpu.parallel.mesh import lift_process_local_batch
 
             cfg = self._config
+            if self._mesh is None:
+                raise ValueError(
+                    "a process-sharded corpus requires a mesh (--mesh); "
+                    "each host holds only its doc block, so training "
+                    "without the global sharding would silently diverge"
+                )
             if corpus.num_types > cfg.dense_vocab_threshold:
                 raise NotImplementedError(
                     "process-sharded input currently requires the dense "
@@ -138,6 +143,16 @@ class VariationalBayes(Inferencer):
             rows = ((rows + cfg.doc_pad_multiple - 1)
                     // cfg.doc_pad_multiple) * cfg.doc_pad_multiple
             local = corpus.to_dense(pad_docs_to=rows)
+            # Re-base doc ids to GLOBAL document indices so cross-host
+            # gamma assembly scatters each host's rows to its own docs.
+            doc_ids = np.where(
+                local.doc_ids >= 0,
+                local.doc_ids + corpus.global_doc_offset,
+                local.doc_ids,
+            ).astype(np.int32)
+            local = type(local)(
+                counts=local.counts, mask=local.mask, doc_ids=doc_ids
+            )
             return [lift_process_local_batch(local, self._mesh)]
         return self._maybe_shard(
             layouts.build_vb_batches(corpus, self._config)
@@ -322,7 +337,7 @@ class VariationalBayes(Inferencer):
             self._gamma_np = layouts.assemble_gamma(
                 [jax.tree.map(host_gather, b) for b in self._gamma_batches],
                 [host_gather(g) for g in self._gammas_dev],
-                self._corpus.num_docs,
+                self._corpus.global_num_docs,
                 np.asarray(self.state.alpha),
             )
         return self._gamma_np

@@ -170,6 +170,28 @@ def lift_process_local_batch(batch, mesh: Mesh):
     loader's ceil-block split guarantees it)."""
     specs = batch_shardings(mesh, batch)
     nproc = jax.process_count()
+    # The loader hands host p the p-th contiguous doc block, so the
+    # mesh's data axis must be process-aligned: every data-row of the
+    # device grid lives in ONE process, and process ids are
+    # non-decreasing along the axis.  A model axis spanning processes
+    # would make replicas of the same global rows receive DIFFERENT
+    # hosts' documents — silently corrupt.
+    grid = mesh.devices.reshape(mesh.shape["data"], -1)
+    row_procs = []
+    for row in grid:
+        procs = {d.process_index for d in row}
+        if len(procs) != 1:
+            raise ValueError(
+                "process-sharded input requires the mesh model axis to "
+                "stay within a process (one process per data-row); got "
+                f"processes {sorted(procs)} in one row"
+            )
+        row_procs.append(next(iter(procs)))
+    if row_procs != sorted(row_procs):
+        raise ValueError(
+            "process-sharded input requires process ids non-decreasing "
+            f"along the data axis; got {row_procs}"
+        )
 
     def lift(field, spec):
         local = np.asarray(getattr(batch, field))

@@ -76,8 +76,12 @@ eng.initialize(train, vocab, mesh=make_mesh(shape=(4, 1)))
 elbos = [eng.learning() for _ in range(3)]
 lam_sum = float(np.asarray(eng.state.lam, dtype=np.float64).sum())
 pp = eng.perplexity(test)
+# Cross-host gamma assembly: global doc order, every host collectively.
+gamma = eng.gamma
+assert gamma.shape == (120, 5), gamma.shape
+gsum = float(gamma.sum())
 print(f"RESULT rank={rank} elbo={elbos[-1]:.4f} lam={lam_sum:.4f} "
-      f"pp={pp:.4f}", flush=True)
+      f"pp={pp:.4f} gsum={gsum:.4f}", flush=True)
 """)
 
 
@@ -125,6 +129,10 @@ def test_two_process_sharded_input_matches_full_load(tmp_path):
     assert abs(ref[-1] - float(results[0]["elbo"])) < 1e-3 * abs(ref[-1]), (
         ref, results)
     assert abs(ref_pp - float(results[0]["pp"])) < 1e-2 * ref_pp
+    # gamma assembled in GLOBAL document order matches the full-load run.
+    ref_gsum = float(eng.gamma.sum())
+    assert abs(ref_gsum - float(results[0]["gsum"])) < 1e-3 * ref_gsum, (
+        ref_gsum, results)
 
 
 def test_two_process_training_matches_single():
