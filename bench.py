@@ -10,46 +10,141 @@ NumPy oracle with the reference's per-document-loop structure
 (SURVEY.md section 6; target >= 100x per BASELINE.json:5), measured on a
 subset of the same corpus on this host's CPU.
 
+Deadline discipline (round-2 rework): this script MUST print exactly one
+JSON line before any plausible driver timeout, even when the tunneled TPU
+is hard-wedged (it hangs on trivial dispatch for minutes after killed
+processes — observed repeatedly on this machine).  Mechanisms:
+
+- a watchdog thread that, at ``BENCH_DEADLINE_SECONDS`` (default 420 s)
+  minus a safety margin, emits a fallback line and ``os._exit``s — a
+  wedged XLA dispatch cannot be interrupted any other way;
+- a short subprocess TPU probe (<= 75 s, one retry, no long sleeps);
+- ``BENCH_CACHE.json`` (committed): the last successful live result.
+  When the device is unusable or time runs out, that result is re-emitted
+  with ``"stale": true`` + a reason, so ``parsed: null`` is impossible;
+- a persistent compile cache under the repo (survives across rounds and
+  is pre-warmed whenever bench.py runs during a build session), so the
+  driver's run does not pay the ~20-40 s/kernel remote cold compile.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "docs/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "docs/s", "vs_baseline": N, ...}
 """
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_CACHE_PATH = os.path.join(_REPO, "BENCH_CACHE.json")
+_T0 = time.time()
+_DEADLINE = float(os.environ.get("BENCH_DEADLINE_SECONDS", "420"))
+_EMITTED = threading.Lock()  # first emitter wins; everyone else is a no-op
+_emitted = False
 
-def main() -> int:
-    # The tunneled TPU occasionally wedges (hangs on trivial dispatch)
-    # for a few minutes after killed processes; probe it in a subprocess
-    # with a timeout and wait out a wedge rather than hanging the driver.
-    import subprocess
 
-    for attempt in range(3):
+def _emit(payload: dict) -> None:
+    """Print the one JSON line (exactly once, whoever gets here first)."""
+    global _emitted
+    with _EMITTED:
+        if _emitted:
+            return
+        _emitted = True
+        payload.setdefault("wall_seconds", round(time.time() - _T0, 1))
+        print(json.dumps(payload), flush=True)
+
+
+def _load_cache() -> dict:
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_cache(payload: dict) -> None:
+    try:
+        tmp = _CACHE_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, _CACHE_PATH)
+    except Exception:
+        pass  # cache write failure must never break the bench
+
+
+def _fallback(reason: str) -> dict:
+    """Last-known-good result marked stale (never parsed: null)."""
+    cache = _load_cache()
+    if cache:
+        cache.pop("wall_seconds", None)
+        cache.update({"stale": True, "stale_reason": reason})
+        return cache
+    return {
+        "metric": "docs/sec/chip, batch VB LDA K=100 V=10k",
+        "value": 0.0,
+        "unit": "docs/s",
+        "vs_baseline": 0.0,
+        "stale": True,
+        "stale_reason": reason + " (and no BENCH_CACHE.json)",
+    }
+
+
+def _watchdog() -> None:
+    margin = 15.0
+    delay = max(5.0, _DEADLINE - margin - (time.time() - _T0))
+    time.sleep(delay)
+    _emit(_fallback(
+        f"deadline {int(_DEADLINE)}s reached before a live measurement "
+        "(TPU wedged or compile too slow)"
+    ))
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def _remaining() -> float:
+    return _DEADLINE - (time.time() - _T0)
+
+
+def _probe_tpu() -> bool:
+    """Can the device run a trivial op?  Short timeouts, no long sleeps:
+    the wedge typically clears in ~4 min, which no driver window allows
+    us to wait out — if it is wedged now, fall back to the cache."""
+    code = "import jax, jax.numpy as jnp; print(float(jnp.ones(4).sum()))"
+    for attempt in range(2):
+        budget = min(75.0, _remaining() - 60.0)
+        if budget < 10.0:
+            return False
         try:
             probe = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp; print(float(jnp.ones(4).sum()))"],
-                capture_output=True, timeout=600,
+                [sys.executable, "-c", code],
+                capture_output=True, timeout=budget,
             )
             if probe.returncode == 0:
-                break
-            # Instant non-zero exit = real breakage, not a wedge; the
-            # main path will surface the error — don't burn retries.
-            break
+                return True
+            return False  # instant failure = real breakage, not a wedge
         except subprocess.TimeoutExpired:
-            if attempt < 2:
-                time.sleep(240)  # wait out the wedge, then re-probe
+            if attempt == 0 and _remaining() > 150.0:
+                time.sleep(20.0)  # brief grace, then one more try
+    return False
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+
+def main() -> int:
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    if not _probe_tpu():
+        _emit(_fallback("TPU probe timed out (device wedged)"))
+        return 0
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache")
+    )
     import jax
 
-    jax.config.update(
-        "jax_persistent_cache_min_compile_time_secs", 0.0
-    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from pylda_tpu.corpus.synthetic import synthetic_corpus
     from pylda_tpu.models import VariationalBayes
@@ -85,35 +180,41 @@ def main() -> int:
     docs_per_sec = D / dt
 
     # PyLDA-CPU stand-in: per-document Python/NumPy loop, same config.
-    sub_n = 256
-    sub = corpus.subset(range(sub_n))
-    ora = OracleVB(
-        sub, num_topics=K, alpha=1.0 / K, eta=1.0 / V, seed=0,
-        inner_iterations=50, convergence_threshold=1e-6,
-    )
-    ora.learning()  # warm
-    best = float("inf")
-    for _ in range(3):  # best-of-3: least-loaded host measurement
-        t0 = time.time()
-        ora.learning()
-        best = min(best, time.time() - t0)
-    baseline_docs_per_sec = sub_n / best
-
-    print(
-        json.dumps(
-            {
-                "metric": "docs/sec/chip, batch VB LDA K=100 V=10k",
-                "value": round(docs_per_sec, 2),
-                "unit": "docs/s",
-                "vs_baseline": round(docs_per_sec / baseline_docs_per_sec, 2),
-                "baseline_docs_per_sec": round(baseline_docs_per_sec, 2),
-                "tokens_per_sec": round(corpus.num_tokens / dt, 1),
-                "seconds_per_corpus_pass": round(dt, 4),
-                "elbo": round(float(elbo), 1),
-                "device": str(jax.devices()[0]),
-            }
+    # The CPU number is hardware-fixed, so reuse the cached measurement
+    # when the remaining budget cannot fit a fresh one (~60-90 s).
+    cache = _load_cache()
+    baseline_docs_per_sec = cache.get("baseline_docs_per_sec", 0.0)
+    baseline_src = "cached" if baseline_docs_per_sec else "none"
+    if _remaining() > 150.0 or not baseline_docs_per_sec:
+        sub_n = 256
+        sub = corpus.subset(range(sub_n))
+        ora = OracleVB(
+            sub, num_topics=K, alpha=1.0 / K, eta=1.0 / V, seed=0,
+            inner_iterations=50, convergence_threshold=1e-6,
         )
-    )
+        ora.learning()  # warm
+        best = float("inf")
+        for _ in range(2):  # best-of-2: least-loaded host measurement
+            t0 = time.time()
+            ora.learning()
+            best = min(best, time.time() - t0)
+        baseline_docs_per_sec = sub_n / best
+        baseline_src = "measured"
+
+    payload = {
+        "metric": "docs/sec/chip, batch VB LDA K=100 V=10k",
+        "value": round(docs_per_sec, 2),
+        "unit": "docs/s",
+        "vs_baseline": round(docs_per_sec / baseline_docs_per_sec, 2),
+        "baseline_docs_per_sec": round(baseline_docs_per_sec, 2),
+        "baseline_source": baseline_src,
+        "tokens_per_sec": round(corpus.num_tokens / dt, 1),
+        "seconds_per_corpus_pass": round(dt, 4),
+        "elbo": round(float(elbo), 1),
+        "device": str(jax.devices()[0]),
+    }
+    _save_cache(payload)
+    _emit(payload)
     return 0
 
 

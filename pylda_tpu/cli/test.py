@@ -78,12 +78,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 def _load_with_vocab(input_directory: str, vocab):
     """Load corpora against the model's OWN vocabulary (type ids must
     match training; the checkpoint's vocab is authoritative)."""
-    doc_path = os.path.join(input_directory, "doc.dat")
-    train = (
-        Corpus.from_file(doc_path, vocab)
-        if os.path.exists(doc_path)
-        else None
-    )
+    # Accept the same alternate name the training loader does
+    # (doc.dat or train.dat) so the two CLIs' input contracts match.
+    train = None
+    for name in ("doc.dat", "train.dat"):
+        doc_path = os.path.join(input_directory, name)
+        if os.path.exists(doc_path):
+            train = Corpus.from_file(doc_path, vocab)
+            break
     test_path = os.path.join(input_directory, "test.dat")
     test = (
         Corpus.from_file(test_path, vocab)

@@ -188,15 +188,24 @@ class Inferencer:
     # -- topics --------------------------------------------------------------------
 
     def topic_word_distribution(self) -> np.ndarray:
-        """Normalised topic-word matrix E[beta] [K, V] (engine-specific
-        estimator; default: variational mean lambda_kv / sum_v lambda_kv).
+        """Normalised topic-word matrix [K, V]: for the VB family this is
+        exp(E[log beta_k] - logsumexp) — the reference's exp_beta parity
+        surface (SURVEY.md section 3.5) — computed from lambda in float64
+        on host.  (Per-topic type *ranking* is identical to the
+        variational-mean estimator lambda/sum(lambda); the printed
+        probabilities follow the reference's convention.)
 
         Collective when lambda is sharded across hosts (host_gather) —
         every process must call this together."""
+        from scipy.special import psi
+
         from pylda_tpu.parallel.mesh import host_gather
 
         lam = host_gather(self.state.lam).astype(np.float64)
-        return lam / lam.sum(axis=1, keepdims=True)
+        elog = psi(lam) - psi(lam.sum(axis=1, keepdims=True))
+        elog -= elog.max(axis=1, keepdims=True)  # stable exp-normalize
+        e = np.exp(elog)
+        return e / e.sum(axis=1, keepdims=True)
 
     def export_beta(self, path: str, top_k: int = 50) -> None:
         """Write the reference's exp_beta format (SURVEY.md section 3.5):

@@ -331,9 +331,14 @@ class MonteCarlo(Inferencer):
                 )
             )
             g_np = np.asarray(gamma_b)
-            for row, d in enumerate(b.doc_ids):
-                if d >= 0:
-                    gamma[d] = g_np[row]
+            doc_ids = np.asarray(b.doc_ids)
+            valid = doc_ids >= 0
+            # Vectorised scatter-add: rows of one blocked document (shared
+            # doc id) recombine additively, gamma_d = alpha + sum n_dk.
+            np.add.at(
+                gamma, doc_ids[valid],
+                g_np[valid] - np.asarray(st.alpha)[None, :],
+            )
         return ll, gamma
 
     # -- checkpoint extras ------------------------------------------------------------

@@ -106,10 +106,12 @@ def assemble_gamma(
     alpha), exact because the gamma update is additive over a document's
     token set at a fixed phi.
     """
-    K = alpha.shape[0]
-    out = np.tile(alpha[None, :], (num_docs, 1))
+    out = np.tile(np.asarray(alpha)[None, :], (num_docs, 1))
     for b, g in zip(batches, gammas):
-        for row, d in enumerate(b.doc_ids):
-            if d >= 0:
-                out[d] += g[row] - alpha
+        doc_ids = np.asarray(b.doc_ids)
+        valid = doc_ids >= 0
+        # Scatter-add (duplicate doc ids accumulate): vectorised — the
+        # per-row Python loop was O(D) interpreter work, a real
+        # bottleneck for --dump_gamma at 100k+ docs.
+        np.add.at(out, doc_ids[valid], np.asarray(g)[valid] - alpha)
     return out

@@ -183,6 +183,8 @@ class OracleVB:
             while np.any(alpha - decay * step <= 0) and decay > 1e-10:
                 decay *= 0.5
             new_alpha = alpha - decay * step
+            if np.any(new_alpha <= 0):  # backtracking bottomed out — keep
+                break                   # the old (positive) vector
             if np.max(np.abs(new_alpha - alpha)) < 1e-8:
                 alpha = new_alpha
                 break
@@ -205,6 +207,8 @@ class OracleVB:
             while np.any(eta - decay * step <= 0) and decay > 1e-10:
                 decay *= 0.5
             new_eta = eta - decay * step
+            if np.any(new_eta <= 0):  # backtracking bottomed out — keep
+                break                 # the old (positive) vector
             if np.max(np.abs(new_eta - eta)) < 1e-10:
                 eta = new_eta
                 break

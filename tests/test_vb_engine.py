@@ -77,7 +77,13 @@ def test_topics_match_oracle_one_step(corpus, lam_init):
     eng.learning()
     ora.learning()
     beta_e = eng.topic_word_distribution()
-    beta_o = ora.lam / ora.lam.sum(axis=1, keepdims=True)
+    # Same estimator as the engine export: exp(E[log beta]) normalised
+    # (the reference's exp_beta convention, SURVEY.md section 3.5).
+    from pylda_tpu.oracle.vb import dirichlet_expectation as _de
+
+    elog_o = _de(ora.lam)
+    e_o = np.exp(elog_o - elog_o.max(axis=1, keepdims=True))
+    beta_o = e_o / e_o.sum(axis=1, keepdims=True)
     np.testing.assert_allclose(beta_e, beta_o, atol=3e-3)
     # Top-word lists — the BASELINE.json:5 parity surface — must agree.
     top_e = np.argsort(-beta_e, axis=1)[:, :10]
