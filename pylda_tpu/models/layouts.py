@@ -94,21 +94,24 @@ def build_vb_batches(
 
 
 def assemble_gamma(
-    batches: List[VBBatch],
+    doc_ids_list: List[np.ndarray],
     gammas: List[np.ndarray],
     num_docs: int,
     alpha: np.ndarray,
 ) -> np.ndarray:
     """Stitch per-batch gamma rows back into corpus document order.
 
-    Oversized documents split into several chunk rows (same doc id)
-    recombine additively: gamma_doc = alpha + sum_chunks (gamma_chunk -
-    alpha), exact because the gamma update is additive over a document's
-    token set at a fixed phi.
+    ``doc_ids_list[i][row]`` is the (global) document index of
+    ``gammas[i][row]`` (-1 for padding rows).  Oversized documents split
+    into several chunk rows (same doc id) recombine additively:
+    gamma_doc = alpha + sum_chunks (gamma_chunk - alpha), exact because
+    the gamma update is additive over a document's token set at a fixed
+    phi.
     """
-    out = np.tile(np.asarray(alpha)[None, :], (num_docs, 1))
-    for b, g in zip(batches, gammas):
-        doc_ids = np.asarray(b.doc_ids)
+    alpha = np.asarray(alpha)
+    out = np.tile(alpha[None, :], (num_docs, 1))
+    for doc_ids, g in zip(doc_ids_list, gammas):
+        doc_ids = np.asarray(doc_ids)
         valid = doc_ids >= 0
         # Scatter-add (duplicate doc ids accumulate): vectorised — the
         # per-row Python loop was O(D) interpreter work, a real

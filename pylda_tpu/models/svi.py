@@ -2,7 +2,9 @@
 
 The reference has no minibatch mode; this is the new capability mandated
 by BASELINE.json:10-11 ("Stochastic VI minibatch LDA ... corpora larger
-than HBM"), implementing Hoffman et al. 2010 per SURVEY.md section 8.4:
+than HBM"; "Doc-sharded SVI LDA, K=1000, vocab 100k, multi-host pod
+slice with lambda allreduce"), implementing Hoffman et al. 2010 per
+SURVEY.md section 8.4:
 
     local E-step on minibatch B_t (same kernels as batch VB), then
     lambda <- (1 - rho_t) lambda + rho_t (eta + (D/|B_t|) sstats),
@@ -10,17 +12,24 @@ than HBM"), implementing Hoffman et al. 2010 per SURVEY.md section 8.4:
 
 ``learning()`` keeps the reference's "one call = one pass over the
 corpus" contract: it runs one epoch of minibatches and returns the
-epoch-averaged ELBO estimate.  Documents stream host->device one
-minibatch at a time, so the corpus never has to fit in HBM.  Under doc
-sharding the per-shard sstats are psum'd before the lambda update
-(SURVEY.md section 2.2; wired in pylda_tpu.parallel).
+epoch-averaged ELBO estimate.  Documents stream host->device one epoch
+at a time, so the corpus never has to fit in HBM.
 
-Dispatch discipline: each minibatch (E-step + natural-gradient lambda
-update + bound estimate) is ONE jitted dispatch, and when every minibatch
-of the epoch has the same batch layout (the common case: fixed
-``batch_size``, dense layout or a single shared bucket shape) the whole
-epoch collapses into ONE ``lax.scan`` dispatch over the stacked
-minibatches.
+Doc sharding (the BASELINE config-5 path): minibatch documents shard
+over the mesh "data" axis exactly like batch VB — the E-step's sstats
+contraction reduces over the sharded doc axis, so GSPMD inserts one
+psum before the lambda natural-gradient step ("lambda allreduce").
+Multi-host: each process streams only its own contiguous corpus block
+(``process_local`` corpora) and contributes per-host minibatch slices;
+``pylda_tpu.parallel.mesh.shard_stacked_batch`` lifts them to global
+arrays.
+
+Dispatch discipline: when every minibatch of the epoch shares one batch
+layout (the common case: fixed ``batch_size``, dense layout or a single
+shared bucket shape) the WHOLE epoch — E-steps, natural-gradient lambda
+updates, bound estimates — collapses into ONE ``lax.scan`` dispatch over
+the stacked minibatches, sharded or not.  Non-uniform (ragged
+multi-bucket) epochs fall back to one dispatch per minibatch.
 """
 
 from __future__ import annotations
@@ -31,28 +40,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pylda_tpu.corpus.corpus import Corpus
+from pylda_tpu.corpus.corpus import Corpus, DenseBatch
 from pylda_tpu.models import layouts
 from pylda_tpu.models.base import LDAState
 from pylda_tpu.models.vb import VariationalBayes, _elog_lambda_sum
 from pylda_tpu.ops.dirichlet import beta_elbo
 from pylda_tpu.ops.hyper import newton_dirichlet_mle
+from pylda_tpu.utils import round_up
 
 
 class StochasticVariationalBayes(VariationalBayes):
     """SVI: minibatch natural-gradient ascent on lambda."""
 
-    # Minibatch streaming / sequence layouts not yet lifted to
-    # process-local global batches (SURVEY.md section 7.3).
-    SUPPORTS_PROCESS_LOCAL = False
+    SUPPORTS_PROCESS_LOCAL = True
 
     def _prepare(self, corpus: Corpus) -> None:
         self._gamma_np = None
         self._gammas_dev = None
-        self._gamma_batches = None
+        self._gamma_doc_ids = None
         self._t = getattr(self, "_t", 0)  # global minibatch counter
         self._jit_minibatch = jax.jit(self._minibatch_step)
         self._jit_epoch_scan = jax.jit(self._epoch_scan)
+        if (
+            getattr(corpus, "process_local", False)
+            and jax.process_count() > 1
+        ):
+            if self._mesh is None:
+                raise ValueError(
+                    "a process-sharded corpus requires a mesh (--mesh); "
+                    "each host holds only its doc block, so training "
+                    "without the global sharding would silently diverge"
+                )
+            if corpus.num_types > self._config.dense_vocab_threshold:
+                raise NotImplementedError(
+                    "process-sharded SVI currently requires the dense "
+                    "layout (vocabulary <= dense_vocab_threshold)"
+                )
 
     # -- one minibatch update (traced) ---------------------------------------------
 
@@ -85,20 +108,25 @@ class StochasticVariationalBayes(VariationalBayes):
         )
         return lam_final, ests, elog_sums.sum(axis=0), gammas
 
-    # -- one epoch -------------------------------------------------------------------
+    # -- host-side epoch batch construction ----------------------------------------
 
-    def learning(self) -> float:
-        """One epoch of minibatch updates; returns the mean per-batch
-        corpus-scaled ELBO estimate (a stochastic bound estimate, not the
-        exact batch ELBO)."""
-        st = self.state
+    def _epoch_batches(self, epoch_seed: int):
+        """One epoch of HOST-side minibatch layouts.
+
+        Returns (batch_lists, doc_ids_lists, rhos, scales,
+        process_local) where ``batch_lists[i]`` is the i-th minibatch as
+        a list of layout chunks (this process's rows only when
+        process_local) and ``doc_ids_lists[i]`` maps the i-th
+        minibatch's GLOBAL rows to global document indices (for gamma
+        assembly)."""
         cfg = self._config
         corpus = self._corpus
+        if (
+            getattr(corpus, "process_local", False)
+            and jax.process_count() > 1
+        ):
+            return self._process_local_epoch(epoch_seed)
         D = corpus.num_docs
-        key, sub = jax.random.split(st.key)
-        epoch_seed = self._counter * 100003 + cfg.seed
-
-        # Host-side batch construction (the streaming step).
         index_lists = corpus.minibatch_indices(cfg.batch_size, seed=epoch_seed)
         batch_lists: List[List[layouts.VBBatch]] = []
         scales: List[float] = []
@@ -109,7 +137,7 @@ class StochasticVariationalBayes(VariationalBayes):
             # minibatches keep per-batch bucketing — a uniform fixed-T
             # layout was measured SLOWER (padding waste beats dispatch
             # savings ~3:1 at wiki-shaped length distributions).
-            bl = self._maybe_shard(
+            bl = (
                 layouts.build_vb_batches(
                     corpus, cfg, doc_indices=idx, pad_docs_to=cfg.batch_size
                 )
@@ -120,6 +148,84 @@ class StochasticVariationalBayes(VariationalBayes):
             scales.append(D / max(1, len(idx)))
             rhos.append((cfg.tau0 + self._t) ** (-cfg.kappa))
             self._t += 1
+        doc_ids_lists = [[b.doc_ids for b in bl] for bl in batch_lists]
+        return batch_lists, doc_ids_lists, rhos, scales, False
+
+    def _process_local_epoch(self, epoch_seed: int):
+        """Minibatches over a process-local corpus: every host
+        contributes ``b_local`` document rows per global minibatch from
+        its own contiguous block (BASELINE config 5 —
+        "Doc-sharded SVI ... multi-host pod slice").
+
+        Per-host permutations use deterministic seeds (epoch_seed, p),
+        so every host can reconstruct every other host's document order
+        WITHOUT communication — that is what makes the global per-batch
+        document counts (hence the D/|B_t| scale and the rho_t schedule)
+        and the global gamma row->doc mapping agree across hosts."""
+        cfg = self._config
+        corpus = self._corpus
+        P = jax.process_count()
+        my = jax.process_index()
+        total = corpus.global_num_docs
+        per = -(-total // P)  # the loader's ceil block size
+        S = self._mesh.shape["data"]
+        if S % P:
+            raise ValueError(
+                f"data axis ({S}) must be a multiple of process count ({P})"
+            )
+        rows_per_proc = S // P
+        b_local = round_up(-(-cfg.batch_size // P), rows_per_proc)
+        n_batches = -(-per // b_local)
+        local_counts = [
+            max(0, min(per, total - p * per)) for p in range(P)
+        ]
+        perms = {
+            p: np.random.default_rng((epoch_seed, p)).permutation(
+                local_counts[p]
+            )
+            for p in range(P)
+        }
+        batch_lists: List[List[layouts.VBBatch]] = []
+        doc_ids_lists: List[List[np.ndarray]] = []
+        rhos: List[float] = []
+        scales: List[float] = []
+        for i in range(n_batches):
+            sel = perms[my][i * b_local : (i + 1) * b_local]
+            b = corpus.to_dense(doc_indices=sel, pad_docs_to=b_local)
+            doc_ids = np.where(
+                b.doc_ids >= 0, b.doc_ids + corpus.global_doc_offset, -1
+            ).astype(np.int32)
+            batch_lists.append(
+                [DenseBatch(counts=b.counts, mask=b.mask, doc_ids=doc_ids)]
+            )
+            # Global row->doc map: concatenation of every host's block.
+            gids = np.full((P, b_local), -1, dtype=np.int32)
+            for p in range(P):
+                selp = perms[p][i * b_local : (i + 1) * b_local]
+                gids[p, : len(selp)] = selp + p * per
+            doc_ids_lists.append([gids.reshape(-1)])
+            docs_in = sum(
+                min(b_local, max(0, c - i * b_local)) for c in local_counts
+            )
+            scales.append(total / max(1, docs_in))
+            rhos.append((cfg.tau0 + self._t) ** (-cfg.kappa))
+            self._t += 1
+        return batch_lists, doc_ids_lists, rhos, scales, True
+
+    # -- one epoch -------------------------------------------------------------------
+
+    def learning(self) -> float:
+        """One epoch of minibatch updates; returns the mean per-batch
+        corpus-scaled ELBO estimate (a stochastic bound estimate, not the
+        exact batch ELBO)."""
+        st = self.state
+        cfg = self._config
+        key, sub = jax.random.split(st.key)
+        epoch_seed = self._counter * 100003 + cfg.seed
+
+        batch_lists, doc_ids_lists, rhos, scales, proc_local = (
+            self._epoch_batches(epoch_seed)
+        )
 
         lam, alpha = st.lam, st.alpha
         structs = {
@@ -127,11 +233,23 @@ class StochasticVariationalBayes(VariationalBayes):
             + str([jax.tree.map(jnp.shape, b) for b in bl])
             for bl in batch_lists
         }
-        if len(batch_lists) > 1 and len(structs) == 1 and self._mesh is None:
-            # Uniform layout: fuse the epoch into one scan dispatch.
+        fuse = len(structs) == 1 and (proc_local or len(batch_lists) > 1)
+        if fuse:
+            # Uniform layout: stack the epoch host-side, place/shard the
+            # stacked arrays once, run ONE scan dispatch.
             stacked = jax.tree.map(
-                lambda *xs: jnp.stack(xs), *batch_lists
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *batch_lists,
             )
+            if self._mesh is None:
+                stacked = [jax.device_put(b) for b in stacked]
+            else:
+                from pylda_tpu.parallel.mesh import shard_stacked_batch
+
+                stacked = [
+                    shard_stacked_batch(b, self._mesh, process_local=proc_local)
+                    for b in stacked
+                ]
             lam, ests, elog_sum_epoch, gammas_stacked = self._jit_epoch_scan(
                 lam, alpha, st.eta, sub, stacked,
                 jnp.asarray(rhos, self._dtype),
@@ -144,6 +262,7 @@ class StochasticVariationalBayes(VariationalBayes):
                 for g in jax.tree.map(lambda x: x[i], gammas_stacked)
             ]
         else:
+            batch_lists = [self._maybe_shard(bl) for bl in batch_lists]
             ests_dev = []
             elog_sum_epoch = jnp.zeros_like(alpha)
             gammas = []
@@ -158,7 +277,7 @@ class StochasticVariationalBayes(VariationalBayes):
                 gammas.extend(gs)
             ests = list(np.asarray(jnp.stack(ests_dev), dtype=np.float64))
 
-        docs_seen = float(sum(len(idx) for idx in index_lists))
+        docs_seen = float(self._corpus.global_num_docs)
         alpha_new, eta_new = alpha, st.eta
         step_new = self._counter + 1
         interval = cfg.hyper_parameter_optimize_interval
@@ -171,7 +290,7 @@ class StochasticVariationalBayes(VariationalBayes):
                 jnp.asarray(cfg.number_of_topics),
             )
 
-        self._set_gammas(gammas, [b for bl in batch_lists for b in bl])
+        self._set_gammas(gammas, [d for dl in doc_ids_lists for d in dl])
         self._state = LDAState(
             lam=lam, alpha=alpha_new, eta=eta_new,
             step=st.step + 1, key=key,

@@ -162,7 +162,7 @@ class VariationalBayes(Inferencer):
         self._batches = self._build_batches(corpus)
         self._gamma_np: Optional[np.ndarray] = None
         self._gammas_dev: Optional[List[jax.Array]] = None
-        self._gamma_batches: Optional[List[layouts.VBBatch]] = None
+        self._gamma_doc_ids: Optional[List[np.ndarray]] = None
         # One trace per engine: every batch + M-step + bound + hyper
         # updates in a single dispatch (module docstring).
         self._jit_iteration = jax.jit(
@@ -301,7 +301,7 @@ class VariationalBayes(Inferencer):
         )
         self._state = new_state
         self._step_host = self._counter + 1
-        self._set_gammas(gammas, self._batches)
+        self._set_gammas(gammas, [b.doc_ids for b in self._batches])
         return float(elbo)
 
     def learning_many(self, n: int) -> List[float]:
@@ -317,14 +317,16 @@ class VariationalBayes(Inferencer):
         )
         self._state = new_state
         self._step_host = self._counter + n
-        self._set_gammas(gammas, self._batches)
+        self._set_gammas(gammas, [b.doc_ids for b in self._batches])
         return [float(x) for x in np.asarray(elbos)]
 
     # -- gamma bookkeeping (lazy host assembly) -------------------------------------
 
-    def _set_gammas(self, gammas, batches) -> None:
+    def _set_gammas(self, gammas, doc_ids_list) -> None:
+        """``doc_ids_list[i]`` maps rows of ``gammas[i]`` to global doc
+        indices (host or device arrays; gathered lazily)."""
         self._gammas_dev = gammas
-        self._gamma_batches = batches
+        self._gamma_doc_ids = doc_ids_list
         self._gamma_np = None
 
     @property
@@ -335,10 +337,10 @@ class VariationalBayes(Inferencer):
             from pylda_tpu.parallel.mesh import host_gather
 
             self._gamma_np = layouts.assemble_gamma(
-                [jax.tree.map(host_gather, b) for b in self._gamma_batches],
+                [host_gather(d) for d in self._gamma_doc_ids],
                 [host_gather(g) for g in self._gammas_dev],
                 self._corpus.global_num_docs,
-                np.asarray(self.state.alpha),
+                host_gather(self.state.alpha),
             )
         return self._gamma_np
 
@@ -357,9 +359,9 @@ class VariationalBayes(Inferencer):
 
         ll = float(token_score + theta_score)
         gamma = layouts.assemble_gamma(
-            [jax.tree.map(host_gather, b) for b in batches],
+            [host_gather(b.doc_ids) for b in batches],
             [host_gather(g) for g in gammas],
             test_corpus.num_docs,
-            np.asarray(st.alpha),
+            host_gather(st.alpha),
         )
         return ll, gamma

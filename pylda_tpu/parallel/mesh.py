@@ -158,24 +158,13 @@ def host_gather(x) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
-def lift_process_local_batch(batch, mesh: Mesh):
-    """Assemble a globally-sharded batch from per-process LOCAL data.
-
-    The multi-host input pipeline (SURVEY.md section 7.3): each host
-    parses only its contiguous document block and pads it to the uniform
-    per-host row count; this lifts those local arrays into one global
-    jax.Array per field via ``jax.make_array_from_process_local_data``
-    with the standard document sharding — no host ever materialises the
-    full corpus.  All hosts must pass identically-shaped locals (the
-    loader's ceil-block split guarantees it)."""
-    specs = batch_shardings(mesh, batch)
-    nproc = jax.process_count()
-    # The loader hands host p the p-th contiguous doc block, so the
-    # mesh's data axis must be process-aligned: every data-row of the
-    # device grid lives in ONE process, and process ids are
-    # non-decreasing along the axis.  A model axis spanning processes
-    # would make replicas of the same global rows receive DIFFERENT
-    # hosts' documents — silently corrupt.
+def validate_process_aligned(mesh: Mesh) -> None:
+    """The loader hands host p the p-th contiguous doc block, so the
+    mesh's data axis must be process-aligned: every data-row of the
+    device grid lives in ONE process, and process ids are
+    non-decreasing along the axis.  A model axis spanning processes
+    would make replicas of the same global rows receive DIFFERENT
+    hosts' documents — silently corrupt."""
     grid = mesh.devices.reshape(mesh.shape["data"], -1)
     row_procs = []
     for row in grid:
@@ -193,6 +182,21 @@ def lift_process_local_batch(batch, mesh: Mesh):
             f"along the data axis; got {row_procs}"
         )
 
+
+def lift_process_local_batch(batch, mesh: Mesh):
+    """Assemble a globally-sharded batch from per-process LOCAL data.
+
+    The multi-host input pipeline (SURVEY.md section 7.3): each host
+    parses only its contiguous document block and pads it to the uniform
+    per-host row count; this lifts those local arrays into one global
+    jax.Array per field via ``jax.make_array_from_process_local_data``
+    with the standard document sharding — no host ever materialises the
+    full corpus.  All hosts must pass identically-shaped locals (the
+    loader's ceil-block split guarantees it)."""
+    specs = batch_shardings(mesh, batch)
+    nproc = jax.process_count()
+    validate_process_aligned(mesh)
+
     def lift(field, spec):
         local = np.asarray(getattr(batch, field))
         global_shape = (local.shape[0] * nproc,) + local.shape[1:]
@@ -201,6 +205,36 @@ def lift_process_local_batch(batch, mesh: Mesh):
         )
 
     return type(batch)(**{f: lift(f, s) for f, s in specs.items()})
+
+
+def shard_stacked_batch(batch, mesh: Mesh, process_local: bool = False):
+    """Place a host batch whose fields carry a LEADING STACK AXIS
+    [n, rows, ...] — an epoch of same-shape minibatches stacked for a
+    fused ``lax.scan`` — with document sharding on axis 1.
+
+    ``process_local=True``: the rows axis holds only this process's
+    documents; fields are lifted to global arrays of ``rows * P`` via
+    ``jax.make_array_from_process_local_data`` (the SVI multi-host input
+    pipeline — each host streams only its own doc shard, SURVEY.md
+    section 7.3 / BASELINE.json:11)."""
+    specs = batch_shardings(mesh, batch)
+    if process_local:
+        validate_process_aligned(mesh)
+    nproc = jax.process_count()
+    out = {}
+    for f, spec in specs.items():
+        sspec = P(*((None,) + tuple(spec)))
+        local = np.asarray(getattr(batch, f))
+        if process_local:
+            gshape = (
+                (local.shape[0], local.shape[1] * nproc) + local.shape[2:]
+            )
+            out[f] = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, sspec), local, gshape
+            )
+        else:
+            out[f] = jax.device_put(local, NamedSharding(mesh, sspec))
+    return type(batch)(**out)
 
 
 # -- debug: cross-device replica consistency ------------------------------------

@@ -85,6 +85,147 @@ print(f"RESULT rank={rank} elbo={elbos[-1]:.4f} lam={lam_sum:.4f} "
 """)
 
 
+_SVI_WORKER = textwrap.dedent("""
+import os, sys
+rank = int(sys.argv[1]); port = sys.argv[2]; corpus_dir = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=rank
+)
+import numpy as np
+from pylda_tpu.corpus.datasets import load_input_directory
+from pylda_tpu.models import StochasticVariationalBayes
+from pylda_tpu.parallel.mesh import make_mesh
+from pylda_tpu.utils.config import LDAConfig
+
+train, test, vocab = load_input_directory(
+    corpus_dir, process_index=rank, process_count=2
+)
+lam0 = np.random.default_rng(9).gamma(100.0, 0.01, size=(5, len(vocab)))
+cfg = LDAConfig(
+    number_of_topics=5, inference_mode="svi", batch_size=32, tau0=16.0,
+    kappa=0.7, inner_iterations=20, doc_pad_multiple=4, seed=0,
+    gamma_init="ones",
+)
+eng = StochasticVariationalBayes(cfg)
+eng.initialize(train, vocab, lam_init=lam0, mesh=make_mesh(shape=(4, 1)))
+ests = [eng.learning() for _ in range(2)]
+lam_sum = float(np.asarray(eng.state.lam, dtype=np.float64).sum())
+gamma = eng.gamma
+gsum = float(gamma.sum())
+pp = eng.perplexity(test)
+print(f"RESULT rank={rank} est0={ests[0]:.4f} est1={ests[1]:.4f} "
+      f"lam={lam_sum:.4f} gsum={gsum:.4f} pp={pp:.4f}", flush=True)
+""")
+
+
+def test_two_process_svi_matches_emulated_reference(tmp_path):
+    """Doc-sharded multi-host SVI (BASELINE config 5): 2 processes, each
+    streaming only its own doc block, fused epoch scan over the global
+    mesh.  Both ranks must agree bitwise, and the run must match an
+    in-process reference that feeds the SAME global minibatch sequence
+    (reconstructed from the deterministic per-host permutations) through
+    the unsharded epoch scan."""
+    import jax
+    import numpy as np
+
+    from pylda_tpu.corpus.corpus import DenseBatch
+    from pylda_tpu.corpus.datasets import (
+        load_input_directory,
+        make_denews_tiny,
+    )
+    from pylda_tpu.models import StochasticVariationalBayes
+    from pylda_tpu.utils.config import LDAConfig
+
+    corpus_dir = str(tmp_path / "corpus")
+    make_denews_tiny(corpus_dir, num_train=120, num_test=30,
+                     mean_doc_length=25)
+
+    port = "12497"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _SVI_WORKER, str(r), port, corpus_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for r in range(2)
+    ]
+    results = {}
+    for r, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-3000:]
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        results[r] = dict(kv.split("=") for kv in line.split()[1:])
+    # Cross-host determinism: replicated lambda + assembled gamma agree.
+    assert results[0]["lam"] == results[1]["lam"], results
+    assert results[0]["gsum"] == results[1]["gsum"], results
+
+    # In-process reference: identical global minibatches, unsharded.
+    train, test, vocab = load_input_directory(corpus_dir)
+    lam0 = np.random.default_rng(9).gamma(100.0, 0.01, size=(5, len(vocab)))
+    cfg = LDAConfig(
+        number_of_topics=5, inference_mode="svi", batch_size=32, tau0=16.0,
+        kappa=0.7, inner_iterations=20, doc_pad_multiple=4, seed=0,
+        gamma_init="ones",
+    )
+    eng = StochasticVariationalBayes(cfg)
+    eng.initialize(train, vocab, lam_init=lam0)
+    # Reconstruct the 2-host epoch construction: P=2, per=60,
+    # rows_per_proc = 4 devices / 2 procs = 2, b_local = 16, 4 batches.
+    P, total, per, b_local = 2, 120, 60, 16
+    st = eng.state
+    t = 0
+    ref_ests = []
+    for epoch in range(2):
+        key, sub = jax.random.split(st.key)
+        epoch_seed = epoch * 100003 + 0
+        perms = {
+            p: np.random.default_rng((epoch_seed, p)).permutation(per)
+            for p in range(P)
+        }
+        fields = {"counts": [], "mask": [], "doc_ids": []}
+        rhos, scales = [], []
+        for i in range(4):
+            blocks = [
+                train.to_dense(
+                    doc_indices=perms[p][i * b_local:(i + 1) * b_local]
+                    + p * per,
+                    pad_docs_to=b_local,
+                )
+                for p in range(P)
+            ]
+            for f in fields:
+                fields[f].append(
+                    np.concatenate([getattr(b, f) for b in blocks])
+                )
+            rhos.append((16.0 + t) ** (-0.7))
+            docs_in = sum(
+                min(b_local, max(0, per - i * b_local)) for _ in range(P)
+            )
+            scales.append(total / docs_in)
+            t += 1
+        stacked = DenseBatch(
+            **{f: np.stack(v) for f, v in fields.items()}
+        )
+        lam_new, ests, _elog, _g = eng._jit_epoch_scan(
+            st.lam, st.alpha, st.eta, sub, [jax.device_put(stacked)],
+            np.asarray(rhos, np.float32), np.asarray(scales, np.float32),
+        )
+        ref_ests.extend(float(x) for x in np.asarray(ests))
+        st = st._replace(lam=lam_new, key=key)
+    ref_lam = float(np.asarray(st.lam, dtype=np.float64).sum())
+    got_lam = float(results[0]["lam"])
+    assert abs(ref_lam - got_lam) < 1e-4 * abs(ref_lam), (ref_lam, got_lam)
+    # Epoch-mean estimates agree (2 epochs of 4 batches each).
+    got = [float(results[0]["est0"]), float(results[0]["est1"])]
+    ref = [
+        float(np.mean(ref_ests[:4])), float(np.mean(ref_ests[4:]))
+    ]
+    for a, b in zip(ref, got):
+        assert abs(a - b) < 1e-3 * abs(a), (ref, got)
+
+
 def test_two_process_sharded_input_matches_full_load(tmp_path):
     """Each host parses only its half of doc.dat; training must match a
     single-process full-corpus run (same math, psum'd stats)."""

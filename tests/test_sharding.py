@@ -7,7 +7,12 @@ import pytest
 import jax
 
 from pylda_tpu.corpus import synthetic_corpus
-from pylda_tpu.models import VariationalBayes, Hybrid, MonteCarlo
+from pylda_tpu.models import (
+    Hybrid,
+    MonteCarlo,
+    StochasticVariationalBayes,
+    VariationalBayes,
+)
 from pylda_tpu.parallel.mesh import make_mesh, shard_batch
 from pylda_tpu.utils.config import LDAConfig
 
@@ -127,6 +132,45 @@ def test_sharded_batch_layout(corpus):
     # Each device holds 64/8 = 8 document rows.
     shard_shapes = {s.data.shape for s in sb.counts.addressable_shards}
     assert shard_shapes == {(8, corpus.num_types)}
+
+
+def _run_svi(corpus, lam_init, mesh=None, **kw):
+    eng = StochasticVariationalBayes(
+        _cfg(inference_mode="svi", batch_size=16, tau0=16.0, kappa=0.7, **kw)
+    )
+    eng.initialize(corpus, lam_init=lam_init, mesh=mesh)
+    ests = [eng.learning() for _ in range(3)]
+    return eng, ests
+
+
+def test_svi_doc_sharded_matches_single_device(corpus, lam_init):
+    """Doc-sharded SVI (BASELINE config 5 path): the fused epoch scan
+    under the mesh — minibatch docs sharded over "data", one psum'd
+    sstats per natural-gradient step — must match the unsharded run
+    (identical minibatch construction; only placement differs)."""
+    ref, ref_ests = _run_svi(corpus, lam_init)
+    mesh = make_mesh(shape=(8, 1))
+    sh, sh_ests = _run_svi(corpus, lam_init, mesh=mesh)
+    for a, b in zip(ref_ests, sh_ests):
+        assert abs(a - b) / abs(a) < 1e-4, (ref_ests, sh_ests)
+    np.testing.assert_allclose(
+        np.asarray(ref.state.lam), np.asarray(sh.state.lam), rtol=2e-4
+    )
+    # gammas assemble identically in global doc order.
+    np.testing.assert_allclose(ref.gamma, sh.gamma, rtol=2e-3, atol=1e-4)
+
+
+def test_svi_vocab_sharded_matches(corpus, lam_init):
+    """SVI with lambda vocab-sharded on "model" (the K=1000/V=100k
+    HBM-pressure layout of BASELINE config 5)."""
+    ref, ref_ests = _run_svi(corpus, lam_init)
+    mesh = make_mesh(shape=(4, 2))
+    sh, sh_ests = _run_svi(corpus, lam_init, mesh=mesh, shard_vocab=True)
+    for a, b in zip(ref_ests, sh_ests):
+        assert abs(a - b) / abs(a) < 1e-4, (ref_ests, sh_ests)
+    np.testing.assert_allclose(
+        np.asarray(ref.state.lam), np.asarray(sh.state.lam), rtol=2e-4
+    )
 
 
 def test_sampling_engines_run_sharded(corpus):
