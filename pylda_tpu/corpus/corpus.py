@@ -258,9 +258,16 @@ class Corpus:
     ) -> List[SequenceBucket]:
         """Length-bucketed padded token sequences (sampling engines).
 
-        Token order within a document never matters for LDA (bag of words,
-        SURVEY.md section 5), so oversized documents are truncated at the
-        largest bucket after an optional shuffle (keeps a uniform subsample).
+        Oversized documents are BLOCKED, never truncated (the
+        long-context analog, SURVEY.md section 5): a document longer
+        than the largest bucket is split into several rows sharing its
+        doc id — every token is conserved.  The sampling engines treat
+        chunk rows as pseudo-documents within a sweep (the within-doc
+        analog of the AD-LDA per-sweep approximation; token order never
+        matters — bag of words) and their within-chunk counts recombine
+        additively into one per-document gamma at assembly.  ``rng``
+        optionally shuffles an oversized doc before chunking so each
+        chunk is a uniform subsample rather than a contiguous span.
         """
         idx = (
             range(self.num_docs)
@@ -268,11 +275,22 @@ class Corpus:
             else [int(i) for i in doc_indices]
         )
         max_bucket = max(bucket_sizes)
-        buckets: dict = {}
+        rows: List[Tuple[int, np.ndarray]] = []
         for d in idx:
-            n = min(self.docs[d].size, max_bucket)
-            size = next((b for b in bucket_sizes if n <= b), max_bucket)
-            buckets.setdefault(size, []).append(d)
+            seq = self.docs[d]
+            if seq.size > max_bucket:
+                if rng is not None:
+                    seq = rng.permutation(seq)
+                for s in range(0, seq.size, max_bucket):
+                    rows.append((d, seq[s : s + max_bucket]))
+            else:
+                rows.append((d, seq))
+        buckets: dict = {}
+        for r, (d, seq) in enumerate(rows):
+            size = next(
+                (b for b in bucket_sizes if seq.size <= b), max_bucket
+            )
+            buckets.setdefault(size, []).append((d, seq))
         out: List[SequenceBucket] = []
         for size in sorted(buckets):
             members = buckets[size]
@@ -281,12 +299,7 @@ class Corpus:
             tmask = np.zeros((D, size), dtype=np.float32)
             mask = np.zeros((D,), dtype=np.float32)
             doc_ids = np.full((D,), -1, dtype=np.int32)
-            for r, d in enumerate(members):
-                seq = self.docs[d]
-                if seq.size > size:
-                    if rng is not None:
-                        seq = rng.permutation(seq)
-                    seq = seq[:size]
+            for r, (d, seq) in enumerate(members):
                 toks[r, : seq.size] = seq
                 tmask[r, : seq.size] = 1.0
                 mask[r] = 1.0

@@ -134,10 +134,7 @@ class VariationalBayes(Inferencer):
                     "without the global sharding would silently diverge"
                 )
             if corpus.num_types > cfg.dense_vocab_threshold:
-                raise NotImplementedError(
-                    "process-sharded input currently requires the dense "
-                    "layout (vocabulary <= dense_vocab_threshold)"
-                )
+                return self._build_ragged_process_local(corpus)
             P = jax.process_count()
             rows = -(-corpus.global_num_docs // P)
             rows = ((rows + cfg.doc_pad_multiple - 1)
@@ -157,6 +154,69 @@ class VariationalBayes(Inferencer):
         return self._maybe_shard(
             layouts.build_vb_batches(corpus, self._config)
         )
+
+    def _build_ragged_process_local(
+        self, corpus: Corpus
+    ) -> List[layouts.VBBatch]:
+        """Multi-host input pipeline for LARGE vocabularies (the
+        NIPS/wiki shapes, V > dense_vocab_threshold; SURVEY.md section
+        7.3 "Multi-host input pipeline").
+
+        Every host parses only its contiguous doc block, but the lifted
+        global buckets must be identically shaped on every host, so the
+        bucket geometry is NEGOTIATED: allgather the per-host rows-per-
+        bucket-width histogram, take the elementwise max, and pad every
+        host's buckets to that uniform row count (padding rows are inert:
+        count 0, mask 0, doc id -1)."""
+        from jax.experimental import multihost_utils
+
+        from pylda_tpu.parallel.mesh import lift_process_local_batch
+        from pylda_tpu.utils import round_up
+
+        cfg = self._config
+        sizes = tuple(cfg.bucket_sizes)
+        # Unpadded local buckets (doc_pad_multiple=1): padding is decided
+        # globally below.
+        local = {
+            b.ids.shape[1]: b
+            for b in corpus.to_ragged_buckets(
+                bucket_sizes=sizes, doc_pad_multiple=1
+            )
+        }
+        widths = sorted(set(sizes))
+        hist = np.asarray(
+            [local[w].ids.shape[0] if w in local else 0 for w in widths],
+            dtype=np.int32,
+        )
+        all_hist = np.asarray(
+            multihost_utils.process_allgather(hist)
+        ).reshape(jax.process_count(), len(widths))
+        max_rows = all_hist.max(axis=0)
+        out: List[layouts.VBBatch] = []
+        for w, rows in zip(widths, max_rows):
+            if rows == 0:
+                continue
+            rows = round_up(int(rows), cfg.doc_pad_multiple)
+            b = local.get(w)
+            ids = np.zeros((rows, w), dtype=np.int32)
+            cnts = np.zeros((rows, w), dtype=np.float32)
+            mask = np.zeros((rows,), dtype=np.float32)
+            doc_ids = np.full((rows,), -1, dtype=np.int32)
+            if b is not None:
+                n = b.ids.shape[0]
+                ids[:n] = b.ids
+                cnts[:n] = b.cnts
+                mask[:n] = b.mask
+                doc_ids[:n] = np.where(
+                    b.doc_ids >= 0,
+                    b.doc_ids + corpus.global_doc_offset,
+                    -1,
+                )
+            padded = RaggedBucket(
+                ids=ids, cnts=cnts, mask=mask, doc_ids=doc_ids
+            )
+            out.append(lift_process_local_batch(padded, self._mesh))
+        return out
 
     def _prepare(self, corpus: Corpus) -> None:
         self._batches = self._build_batches(corpus)

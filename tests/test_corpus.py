@@ -86,10 +86,50 @@ def test_sequence_buckets():
     buckets = corpus.to_sequence_buckets(
         bucket_sizes=(64, 128), doc_pad_multiple=4
     )
+    # Blocking, never truncation: every token survives the layout.
     total = sum(b.token_mask.sum() for b in buckets)
-    assert total == min(corpus.num_tokens, total)  # truncation only if >128
-    docs_seen = sum(int(b.mask.sum()) for b in buckets)
+    assert total == corpus.num_tokens
+    docs_seen = len(
+        {
+            int(d)
+            for b in buckets
+            for d in np.asarray(b.doc_ids)
+            if d >= 0
+        }
+    )
     assert docs_seen == 30
+
+
+def test_sequence_buckets_block_oversized_docs():
+    """A 10x-max-bucket document becomes 10 chunk rows sharing a doc id;
+    token conservation holds (SURVEY.md section 5 long-context (a))."""
+    from pylda_tpu.corpus.corpus import Corpus
+    from pylda_tpu.corpus.vocabulary import Vocabulary
+
+    rng = np.random.default_rng(0)
+    vocab = Vocabulary(f"w{i}" for i in range(50))
+    big = rng.integers(0, 50, size=10 * 128)
+    small = rng.integers(0, 50, size=30)
+    corpus = Corpus([big, small], vocab)
+    buckets = corpus.to_sequence_buckets(
+        bucket_sizes=(64, 128), doc_pad_multiple=1
+    )
+    total = sum(b.token_mask.sum() for b in buckets)
+    assert total == corpus.num_tokens == 10 * 128 + 30
+    rows_doc0 = sum(
+        int((np.asarray(b.doc_ids) == 0).sum()) for b in buckets
+    )
+    assert rows_doc0 == 10
+    # Every chunk row of doc 0 carries exactly its share of the tokens.
+    from collections import Counter
+
+    got = Counter()
+    for b in buckets:
+        for r, d in enumerate(np.asarray(b.doc_ids)):
+            if d == 0:
+                m = b.token_mask[r].astype(bool)
+                got.update(b.tokens[r][m].tolist())
+    assert got == Counter(big.tolist())
 
 
 def test_minibatch_indices_partition():

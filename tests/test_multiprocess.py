@@ -85,6 +85,110 @@ print(f"RESULT rank={rank} elbo={elbos[-1]:.4f} lam={lam_sum:.4f} "
 """)
 
 
+_RAGGED_WORKER = textwrap.dedent("""
+import os, sys
+rank = int(sys.argv[1]); port = sys.argv[2]; corpus_dir = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=rank
+)
+import numpy as np
+from pylda_tpu.corpus.datasets import load_input_directory
+from pylda_tpu.models import VariationalBayes
+from pylda_tpu.parallel.mesh import make_mesh
+from pylda_tpu.utils.config import LDAConfig
+
+train, test, vocab = load_input_directory(
+    corpus_dir, process_index=rank, process_count=2
+)
+assert train.process_local and len(vocab) > 4096, len(vocab)
+cfg = LDAConfig(
+    number_of_topics=5, inner_iterations=20, doc_pad_multiple=4, seed=0,
+    gamma_init="ones", bucket_sizes=(64, 128),
+)
+eng = VariationalBayes(cfg)
+eng.initialize(train, vocab, mesh=make_mesh(shape=(4, 1)))
+elbos = [eng.learning() for _ in range(2)]
+lam_sum = float(np.asarray(eng.state.lam, dtype=np.float64).sum())
+gsum = float(eng.gamma.sum())
+print(f"RESULT rank={rank} elbo={elbos[-1]:.4f} lam={lam_sum:.4f} "
+      f"gsum={gsum:.4f}", flush=True)
+""")
+
+
+def _write_synthetic_text_corpus(corpus_dir, num_docs=48, num_types=5000,
+                                 seed=11):
+    """doc.dat/voc.dat with V > dense_vocab_threshold and doc sizes
+    spanning two buckets, plus one oversized doc (chunked rows)."""
+    import os
+
+    import numpy as np
+
+    os.makedirs(corpus_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    with open(os.path.join(corpus_dir, "voc.dat"), "w") as f:
+        for v in range(num_types):
+            f.write(f"w{v}\n")
+    with open(os.path.join(corpus_dir, "doc.dat"), "w") as f:
+        for d in range(num_docs):
+            if d == 3:
+                n_unique = 300  # oversized: > largest bucket (128)
+            elif d % 2:
+                n_unique = int(rng.integers(70, 120))
+            else:
+                n_unique = int(rng.integers(10, 50))
+            ids = rng.choice(num_types, size=n_unique, replace=False)
+            toks = np.repeat(ids, rng.integers(1, 4, size=n_unique))
+            f.write(" ".join(f"w{t}" for t in toks) + "\n")
+
+
+def test_two_process_ragged_sharded_input_matches_full_load(tmp_path):
+    """The large-vocabulary multi-host input pipeline: negotiated bucket
+    geometry across hosts (allgathered histograms), lifted global ragged
+    buckets.  Must match a single-process full-load run — the ELBO and
+    the M-step are sums over documents, invariant to row placement."""
+    from pylda_tpu.corpus.datasets import load_input_directory
+    from pylda_tpu.models import VariationalBayes
+    from pylda_tpu.utils.config import LDAConfig
+
+    import numpy as np
+
+    corpus_dir = str(tmp_path / "corpus")
+    _write_synthetic_text_corpus(corpus_dir)
+
+    port = "12503"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _RAGGED_WORKER, str(r), port, corpus_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for r in range(2)
+    ]
+    results = {}
+    for r, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-3000:]
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        results[r] = dict(kv.split("=") for kv in line.split()[1:])
+    assert results[0]["lam"] == results[1]["lam"], results
+
+    train, test, vocab = load_input_directory(corpus_dir)
+    cfg = LDAConfig(
+        number_of_topics=5, inner_iterations=20, doc_pad_multiple=4, seed=0,
+        gamma_init="ones", bucket_sizes=(64, 128),
+    )
+    eng = VariationalBayes(cfg)
+    eng.initialize(train, vocab)
+    ref = [eng.learning() for _ in range(2)]
+    assert abs(ref[-1] - float(results[0]["elbo"])) < 1e-3 * abs(ref[-1]), (
+        ref, results)
+    ref_gsum = float(eng.gamma.sum())
+    assert abs(ref_gsum - float(results[0]["gsum"])) < 1e-3 * abs(ref_gsum), (
+        ref_gsum, results)
+
+
 _SVI_WORKER = textwrap.dedent("""
 import os, sys
 rank = int(sys.argv[1]); port = sys.argv[2]; corpus_dir = sys.argv[3]

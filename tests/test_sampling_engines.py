@@ -48,6 +48,35 @@ def test_gibbs_count_conservation(corpus):
         )
 
 
+def test_gibbs_blocks_long_documents():
+    """A doc far beyond the largest bucket is blocked into chunk rows:
+    training conserves every token and held-out gamma recombines the
+    chunks into one document row."""
+    from pylda_tpu.corpus.corpus import Corpus
+    from pylda_tpu.corpus.vocabulary import Vocabulary
+
+    rng = np.random.default_rng(1)
+    vocab = Vocabulary(f"w{i}" for i in range(60))
+    docs = [rng.integers(0, 60, size=n) for n in (1000, 40, 25, 90)]
+    corpus = Corpus(docs, vocab)
+    eng = MonteCarlo(_cfg("gibbs", bucket_sizes=(64, 128),
+                          doc_pad_multiple=1))
+    eng.initialize(corpus)
+    eng.learning()
+    n_kv = np.asarray(eng._n_kv)
+    assert n_kv.sum() == corpus.num_tokens  # no silent token drop
+    ll, gamma = eng.inference(corpus)
+    assert gamma.shape == (4, 5)
+    alpha_sum = float(np.asarray(eng.state.alpha).sum())
+    # gamma_d - alpha sums to the doc's FULL token count (chunks
+    # recombined additively), including the 1000-token blocked doc.
+    np.testing.assert_allclose(
+        gamma.sum(axis=1) - alpha_sum,
+        [len(d) for d in docs],
+        rtol=1e-5,
+    )
+
+
 def test_gibbs_likelihood_improves(corpus):
     eng = MonteCarlo(_cfg("gibbs"))
     eng.initialize(corpus)
