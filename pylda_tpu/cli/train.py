@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gamma_init", default="gamma", choices=["gamma", "ones"])
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace into this directory")
+    p.add_argument("--phase_timing", action="store_true",
+                   help="measure per-phase device times (e-step per "
+                        "batch, m-step, bound, hyper updates) once after "
+                        "training and log them to metrics.jsonl")
     p.add_argument("--tensorboard_dir", default=None,
                    help="write per-iteration scalars (log likelihood, "
                         "docs/sec, held-out perplexity) as TensorBoard "
@@ -282,6 +286,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         import jax
 
         jax.profiler.stop_trace()
+
+    if args.phase_timing:
+        times = engine.phase_timings()
+        if times:
+            metrics.log(event="phase_timing", **times)
 
     n = config.training_iterations
     # Every host participates (collective gathers/evals); host 0 writes.

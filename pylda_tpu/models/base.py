@@ -180,6 +180,13 @@ class Inferencer:
         (log likelihood bound, per-doc gamma [D_test, K])."""
         raise NotImplementedError
 
+    def phase_timings(self, repeats: int = 3) -> dict:
+        """Per-phase device wall times in ms for one iteration (the
+        reference printed per-phase clocks inside ``learning()``;
+        SURVEY.md section 5 "Tracing / profiling").  Engines override;
+        {} means the engine has no phase breakdown."""
+        return {}
+
     def perplexity(self, test_corpus: Corpus) -> float:
         """Per-word held-out perplexity (SURVEY.md section 3.4)."""
         ll, _ = self.inference(test_corpus)

@@ -243,6 +243,39 @@ class MonteCarlo(Inferencer):
             )
         )
 
+    # -- per-phase timing (debug/observability surface) ---------------------------
+
+    def phase_timings(self, repeats: int = 3) -> dict:
+        """Sweep vs likelihood device wall times (ms), best of repeats."""
+        import time as _time
+
+        st = self.state
+        key = jax.random.fold_in(st.key, 0x7131)
+        out = {}
+
+        def timed(name, fn, *a):
+            r = fn(*a)
+            jax.block_until_ready(r)
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = _time.perf_counter()
+                r = fn(*a)
+                jax.block_until_ready(r)
+                best = min(best, _time.perf_counter() - t0)
+            out[name] = round(best * 1e3, 3)
+            return r
+
+        timed(
+            "gibbs_sweep_ms", self._jit_sweep,
+            st.alpha, st.eta, key, self._n_kv, tuple(self._z), self._buckets,
+        )
+        timed(
+            "joint_likelihood_ms", self._jit_likelihood,
+            st.alpha, st.eta, self._n_kv, tuple(self._ndk),
+            tuple(b.mask for b in self._buckets),
+        )
+        return out
+
     # -- Wallach slice sampler (SURVEY.md section 8.2) ----------------------------
 
     def optimize_hyperparameters(

@@ -301,6 +301,50 @@ class StochasticVariationalBayes(VariationalBayes):
     def learning_many(self, n: int):
         return [self.learning() for _ in range(n)]
 
+    # -- per-phase timing (debug/observability surface) -----------------------------
+
+    def phase_timings(self, repeats: int = 3) -> dict:
+        """One-minibatch step wall time (ms): E-step + natural-gradient
+        lambda update + bound estimate, best of repeats."""
+        import time as _time
+
+        st = self.state
+        cfg = self._config
+        t_saved = self._t
+        try:
+            batch_lists, _ids, rhos, scales, _pl = self._epoch_batches(
+                cfg.seed
+            )
+        finally:
+            self._t = t_saved  # timing must not advance the rho schedule
+        if _pl:
+            from pylda_tpu.parallel.mesh import lift_process_local_batch
+
+            bl = [
+                lift_process_local_batch(b, self._mesh)
+                for b in batch_lists[0]
+            ]
+        else:
+            bl = self._maybe_shard(batch_lists[0])
+        key = jax.random.fold_in(st.key, 0x7131)
+        args = (
+            st.lam, st.alpha, st.eta, key, bl,
+            jnp.asarray(rhos[0], self._dtype),
+            jnp.asarray(scales[0], self._dtype),
+        )
+        r = self._jit_minibatch(*args)
+        jax.block_until_ready(r)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            r = self._jit_minibatch(*args)
+            jax.block_until_ready(r)
+            best = min(best, _time.perf_counter() - t0)
+        return {
+            "svi_minibatch_ms": round(best * 1e3, 3),
+            "minibatches_per_epoch": len(batch_lists),
+        }
+
     # -- checkpoint extras ----------------------------------------------------------
 
     def _extra_state(self) -> dict:

@@ -380,6 +380,76 @@ class VariationalBayes(Inferencer):
         self._set_gammas(gammas, [b.doc_ids for b in self._batches])
         return [float(x) for x in np.asarray(elbos)]
 
+    # -- per-phase timing (debug/observability surface) -----------------------------
+
+    def phase_timings(self, repeats: int = 3) -> dict:
+        """Per-phase device wall times in ms for one training iteration
+        — the repo surface for the reference's per-phase clocks inside
+        ``learning()`` (SURVEY.md section 5 "Tracing / profiling").
+
+        Each phase is dispatched separately and ``block_until_ready``-d
+        (best of ``repeats``), so the sum is an UPPER BOUND on the fused
+        iteration: the production path runs all phases in one dispatch
+        and lets XLA fuse across these boundaries."""
+        import time as _time
+
+        st = self.state
+        cfg = self._config
+        key = jax.random.fold_in(st.key, 0x7131)
+        out = {}
+
+        def timed(name, fn, *a):
+            r = fn(*a)  # compile + warm
+            jax.block_until_ready(r)
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = _time.perf_counter()
+                r = fn(*a)
+                jax.block_until_ready(r)
+                best = min(best, _time.perf_counter() - t0)
+            out[name] = round(best * 1e3, 3)
+            return r
+
+        estep1 = jax.jit(
+            lambda b, lam, alpha, k: self._run_estep([b], lam, alpha, k)
+        )
+        sstats, elog_sum = None, None
+        for i, b in enumerate(self._batches):
+            shape = (
+                f"dense{tuple(b.counts.shape)}"
+                if isinstance(b, DenseBatch)
+                else f"rows{b.mask.shape[0]}"
+            )
+            r = timed(
+                f"estep_batch{i}_{shape}_ms", estep1, b, st.lam, st.alpha,
+                jax.random.fold_in(key, i),
+            )
+            sstats = r[1] if sstats is None else sstats + r[1]
+            elog_sum = r[4] if elog_sum is None else elog_sum + r[4]
+        out["estep_total_ms"] = round(
+            sum(v for k, v in out.items() if k.startswith("estep_batch")), 3
+        )
+        mstep = jax.jit(lambda eta, ss: eta[None, :] + ss)
+        lam_new = timed("mstep_ms", mstep, st.eta, sstats)
+        timed("bound_ms", jax.jit(beta_elbo), st.lam, st.eta)
+        timed(
+            "hyper_newton_ms",
+            jax.jit(
+                lambda a, e, es, lam: (
+                    newton_dirichlet_mle(
+                        a, es,
+                        jnp.asarray(float(self._corpus.global_num_docs)),
+                    ),
+                    newton_dirichlet_mle(
+                        e, _elog_lambda_sum(lam),
+                        jnp.asarray(cfg.number_of_topics),
+                    ),
+                )
+            ),
+            st.alpha, st.eta, elog_sum, lam_new,
+        )
+        return out
+
     # -- gamma bookkeeping (lazy host assembly) -------------------------------------
 
     def _set_gammas(self, gammas, doc_ids_list) -> None:

@@ -191,3 +191,28 @@ def test_alpha_newton_matches_oracle(corpus, lam_init):
     )
     ora.update_alpha(ora.gamma)
     np.testing.assert_allclose(got, ora.alpha, rtol=2e-2)
+
+
+def test_phase_timings_all_engines(corpus):
+    """The per-phase observability surface (SURVEY.md section 5
+    tracing): every engine reports positive phase times that include an
+    E-step/sweep entry."""
+    from pylda_tpu.models import make_engine
+    from pylda_tpu.utils.config import LDAConfig
+
+    for mode in ("vb", "gibbs", "hybrid", "svi"):
+        eng = make_engine(
+            LDAConfig(
+                number_of_topics=5, inference_mode=mode, batch_size=16,
+                inner_iterations=10, number_of_samples=2, burn_in_sweeps=1,
+                seed=0,
+            )
+        )
+        eng.initialize(corpus)
+        times = eng.phase_timings(repeats=1)
+        assert times, mode
+        assert all(v >= 0 for v in times.values()), (mode, times)
+        assert any(
+            k.startswith(("estep", "gibbs_sweep", "svi_minibatch"))
+            for k in times
+        ), (mode, times)
