@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process_sharded_input", action="store_true",
                    help="multi-host: each host parses only its contiguous "
                         "block of doc.dat (dense layout, VB engine)")
+    p.add_argument("--streaming_input", action="store_true",
+                   help="SVI: disk-backed minibatch source — host RAM "
+                        "holds line offsets only; docs parse on demand "
+                        "per minibatch (corpora larger than host RAM)")
     # -- misc --
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="float32")
@@ -167,6 +171,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if config.mesh_shape is not None:
         mesh = make_mesh(shape=config.mesh_shape)
 
+    if args.streaming_input and config.inference_mode != "svi":
+        raise SystemExit("--streaming_input requires --inference_mode=svi")
     if args.process_sharded_input:
         import jax
 
@@ -174,9 +180,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             args.input_directory,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
+            streaming=args.streaming_input,
         )
     else:
-        train, test, vocab = load_input_directory(args.input_directory)
+        train, test, vocab = load_input_directory(
+            args.input_directory, streaming=args.streaming_input
+        )
     run_dir = output_run_directory(args, config)
     if is_host_zero():
         os.makedirs(run_dir, exist_ok=True)

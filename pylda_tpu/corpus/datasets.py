@@ -116,6 +116,7 @@ def load_input_directory(
     input_directory: str,
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
+    streaming: bool = False,
 ) -> Tuple[Corpus, Optional[Corpus], Vocabulary]:
     """Load the reference's input contract: doc.dat + voc.dat [+ test.dat].
 
@@ -148,7 +149,17 @@ def load_input_directory(
         # (token set only — no line buffering), sorted.
         with open(doc_path, "r", encoding="utf-8") as f:
             vocab = Vocabulary.from_corpus_lines(f)
-    if process_index is None or process_count in (None, 1):
+    if streaming:
+        # Disk-backed minibatch source: host RAM holds line offsets
+        # only; documents parse on demand per minibatch (SVI path,
+        # SURVEY.md section 7.2 step 1).
+        from pylda_tpu.corpus.streaming import StreamingCorpus
+
+        train = StreamingCorpus(
+            doc_path, vocab,
+            process_index=process_index, process_count=process_count,
+        )
+    elif process_index is None or process_count in (None, 1):
         train = Corpus.from_file(doc_path, vocab)
     else:
         # Stream: count lines (cheap pass), then buffer ONLY this host's

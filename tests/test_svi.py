@@ -71,3 +71,72 @@ def test_svi_minibatch_counter_advances(corpus):
     assert svi._t == 4
     svi.learning()
     assert svi._t == 8
+
+
+def _write_text_corpus(corpus, path):
+    with open(path, "w") as f:
+        for d in corpus.docs:
+            f.write(" ".join(f"w{t}" for t in d) + "\n")
+
+
+def test_streaming_svi_matches_in_memory(corpus, tmp_path):
+    """Disk-backed minibatch source (SURVEY.md section 7.2 step 1):
+    training from StreamingCorpus must match the in-memory Corpus run
+    exactly — same minibatch indices, same layouts, same updates."""
+    from pylda_tpu.corpus.streaming import StreamingCorpus
+    from pylda_tpu.corpus.vocabulary import Vocabulary
+
+    path = str(tmp_path / "doc.dat")
+    _write_text_corpus(corpus, path)
+    vocab = Vocabulary(f"w{i}" for i in range(corpus.num_types))
+
+    stream = StreamingCorpus(path, vocab)
+    assert stream.num_docs == corpus.num_docs
+    assert stream.num_tokens == corpus.num_tokens  # exact post-OOV count
+
+    runs = {}
+    for name, c in (("mem", corpus), ("stream", stream)):
+        eng = StochasticVariationalBayes(_cfg("svi", gamma_init="ones"))
+        eng.initialize(c, vocab)
+        ests = [eng.learning() for _ in range(3)]
+        runs[name] = (np.asarray(eng.state.lam), ests, eng.gamma)
+    np.testing.assert_array_equal(runs["mem"][0], runs["stream"][0])
+    assert runs["mem"][1] == runs["stream"][1]
+    np.testing.assert_array_equal(runs["mem"][2], runs["stream"][2])
+
+
+def test_streaming_svi_ragged_layout(corpus, tmp_path):
+    """Streaming + large-vocab ragged minibatches (V > threshold)."""
+    from pylda_tpu.corpus.streaming import StreamingCorpus
+    from pylda_tpu.corpus.vocabulary import Vocabulary
+
+    path = str(tmp_path / "doc.dat")
+    _write_text_corpus(corpus, path)
+    vocab = Vocabulary(f"w{i}" for i in range(corpus.num_types))
+    stream = StreamingCorpus(path, vocab)
+
+    runs = {}
+    for name, c in (("mem", corpus), ("stream", stream)):
+        eng = StochasticVariationalBayes(
+            _cfg("svi", gamma_init="ones", dense_vocab_threshold=0,
+                 bucket_sizes=(32, 64, 128))
+        )
+        eng.initialize(c, vocab)
+        ests = [eng.learning() for _ in range(2)]
+        runs[name] = (np.asarray(eng.state.lam), ests)
+    np.testing.assert_array_equal(runs["mem"][0], runs["stream"][0])
+    assert runs["mem"][1] == runs["stream"][1]
+
+
+def test_streaming_corpus_holds_no_documents(corpus, tmp_path):
+    """The point of streaming: no per-document arrays are retained."""
+    from pylda_tpu.corpus.streaming import StreamingCorpus
+    from pylda_tpu.corpus.vocabulary import Vocabulary
+
+    path = str(tmp_path / "doc.dat")
+    _write_text_corpus(corpus, path)
+    vocab = Vocabulary(f"w{i}" for i in range(corpus.num_types))
+    stream = StreamingCorpus(path, vocab)
+    assert not hasattr(stream, "docs")
+    # RAM-resident index = one int64 offset per document (+1).
+    assert stream._offsets.nbytes == 8 * (corpus.num_docs + 1)
