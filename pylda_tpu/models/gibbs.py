@@ -75,14 +75,41 @@ def _doc_side_ll(ndk, mask, alpha):
 class MonteCarlo(Inferencer):
     """Collapsed Gibbs with per-sweep table synchronisation."""
 
+    SUPPORTS_PROCESS_LOCAL = True
+
     def _prepare(self, corpus: Corpus) -> None:
         cfg = self._config
-        self._buckets: List[SequenceBucket] = self._maybe_shard(
-            corpus.to_sequence_buckets(
-                bucket_sizes=cfg.bucket_sizes,
-                doc_pad_multiple=cfg.doc_pad_multiple,
+        if (
+            getattr(corpus, "process_local", False)
+            and jax.process_count() > 1
+        ):
+            # Multi-host AD-LDA: per-host sequence buckets (negotiated
+            # geometry), doc-sharded z and n_dk; the per-sweep n_kv
+            # rebuild is the single cross-host reduction (SURVEY.md
+            # section 2.2 DP row).
+            from pylda_tpu.parallel.mesh import lift_process_local_buckets
+
+            if self._mesh is None:
+                raise ValueError(
+                    "a process-sharded corpus requires a mesh (--mesh)"
+                )
+            self._buckets = lift_process_local_buckets(
+                corpus.to_sequence_buckets(
+                    bucket_sizes=tuple(cfg.bucket_sizes),
+                    doc_pad_multiple=1,
+                ),
+                cfg.bucket_sizes,
+                cfg.doc_pad_multiple,
+                self._mesh,
+                corpus.global_doc_offset,
             )
-        )
+        else:
+            self._buckets = self._maybe_shard(
+                corpus.to_sequence_buckets(
+                    bucket_sizes=cfg.bucket_sizes,
+                    doc_pad_multiple=cfg.doc_pad_multiple,
+                )
+            )
         K, V = cfg.number_of_topics, len(self._vocab)
         key = jax.random.fold_in(self.state.key, 0x51BB5)
         self._z: List[jnp.ndarray] = []
@@ -327,16 +354,19 @@ class MonteCarlo(Inferencer):
         st = self.state
         cfg = self._config
         K, V = cfg.number_of_topics, len(self._vocab)
+        from pylda_tpu.parallel.mesh import host_gather
+
         log_tw = _log_phi_hat(self._n_kv, st.eta)
-        buckets = test_corpus.to_sequence_buckets(
-            bucket_sizes=cfg.bucket_sizes,
-            doc_pad_multiple=cfg.doc_pad_multiple,
+        buckets = self._maybe_shard(
+            test_corpus.to_sequence_buckets(
+                bucket_sizes=cfg.bucket_sizes,
+                doc_pad_multiple=cfg.doc_pad_multiple,
+            )
         )
         key = jax.random.fold_in(st.key, 0x7E57)
         ll = 0.0
-        gamma = np.tile(
-            np.asarray(st.alpha)[None, :], (test_corpus.num_docs, 1)
-        )
+        alpha_np = host_gather(st.alpha)
+        gamma = np.tile(alpha_np[None, :], (test_corpus.num_docs, 1))
         for i, b in enumerate(buckets):
             sub = jax.random.fold_in(key, i)
             z0 = random_assignments(
@@ -363,14 +393,13 @@ class MonteCarlo(Inferencer):
                     log_tw,
                 )
             )
-            g_np = np.asarray(gamma_b)
-            doc_ids = np.asarray(b.doc_ids)
+            g_np = host_gather(gamma_b)
+            doc_ids = host_gather(b.doc_ids)
             valid = doc_ids >= 0
             # Vectorised scatter-add: rows of one blocked document (shared
             # doc id) recombine additively, gamma_d = alpha + sum n_dk.
             np.add.at(
-                gamma, doc_ids[valid],
-                g_np[valid] - np.asarray(st.alpha)[None, :],
+                gamma, doc_ids[valid], g_np[valid] - alpha_np[None, :]
             )
         return ll, gamma
 
@@ -405,8 +434,21 @@ class MonteCarlo(Inferencer):
             for i, k in enumerate(zs)
         ):
             return False
-        self._z = [jnp.asarray(blobs[k]) for k in zs]
+        # Re-place with each bucket's sharding (host_gather-ed full
+        # arrays scatter back onto the current mesh — elastic resume).
+        self._z = [
+            jax.device_put(blobs[k], self._buckets[i].tokens.sharding)
+            if hasattr(self._buckets[i].tokens, "sharding")
+            else jnp.asarray(blobs[k])
+            for i, k in enumerate(zs)
+        ]
         self._ndk = [
-            jnp.asarray(blobs[f"ndk_{i}"]) for i in range(len(zs))
+            # tokens' P("data", None) spec applies to any 2-D row array.
+            jax.device_put(
+                blobs[f"ndk_{i}"], self._buckets[i].tokens.sharding
+            )
+            if hasattr(self._buckets[i].tokens, "sharding")
+            else jnp.asarray(blobs[f"ndk_{i}"])
+            for i in range(len(zs))
         ]
         return True

@@ -33,12 +33,35 @@ from pylda_tpu.ops.sampling import (
 class Hybrid(VariationalBayes):
     """VB global step + within-doc Gibbs local step."""
 
-    # Minibatch streaming / sequence layouts not yet lifted to
-    # process-local global batches (SURVEY.md section 7.3).
-    SUPPORTS_PROCESS_LOCAL = False
+    SUPPORTS_PROCESS_LOCAL = True
 
     def _build_batches(self, corpus: Corpus) -> List[SequenceBucket]:
         cfg = self._config
+        if (
+            getattr(corpus, "process_local", False)
+            and jax.process_count() > 1
+        ):
+            # Multi-host: per-host sequence buckets with negotiated
+            # geometry, lifted to globally doc-sharded arrays.  The
+            # sampled local step is per-row independent given the frozen
+            # exp(E[log beta]), so the only collective stays the psum'd
+            # sstats in the M-step (SURVEY.md section 2.2 DP row).
+            from pylda_tpu.parallel.mesh import lift_process_local_buckets
+
+            if self._mesh is None:
+                raise ValueError(
+                    "a process-sharded corpus requires a mesh (--mesh)"
+                )
+            return lift_process_local_buckets(
+                corpus.to_sequence_buckets(
+                    bucket_sizes=tuple(cfg.bucket_sizes),
+                    doc_pad_multiple=1,
+                ),
+                cfg.bucket_sizes,
+                cfg.doc_pad_multiple,
+                self._mesh,
+                corpus.global_doc_offset,
+            )
         return self._maybe_shard(
             corpus.to_sequence_buckets(
                 bucket_sizes=cfg.bucket_sizes,

@@ -162,61 +162,22 @@ class VariationalBayes(Inferencer):
         NIPS/wiki shapes, V > dense_vocab_threshold; SURVEY.md section
         7.3 "Multi-host input pipeline").
 
-        Every host parses only its contiguous doc block, but the lifted
-        global buckets must be identically shaped on every host, so the
-        bucket geometry is NEGOTIATED: allgather the per-host rows-per-
-        bucket-width histogram, take the elementwise max, and pad every
-        host's buckets to that uniform row count (padding rows are inert:
-        count 0, mask 0, doc id -1)."""
-        from jax.experimental import multihost_utils
-
-        from pylda_tpu.parallel.mesh import lift_process_local_batch
-        from pylda_tpu.utils import round_up
+        Every host parses only its contiguous doc block; bucket geometry
+        is negotiated across hosts (allgathered histograms, elementwise
+        max, inert padding) by
+        ``pylda_tpu.parallel.mesh.lift_process_local_buckets``."""
+        from pylda_tpu.parallel.mesh import lift_process_local_buckets
 
         cfg = self._config
-        sizes = tuple(cfg.bucket_sizes)
-        # Unpadded local buckets (doc_pad_multiple=1): padding is decided
-        # globally below.
-        local = {
-            b.ids.shape[1]: b
-            for b in corpus.to_ragged_buckets(
-                bucket_sizes=sizes, doc_pad_multiple=1
-            )
-        }
-        widths = sorted(set(sizes))
-        hist = np.asarray(
-            [local[w].ids.shape[0] if w in local else 0 for w in widths],
-            dtype=np.int32,
+        return lift_process_local_buckets(
+            corpus.to_ragged_buckets(
+                bucket_sizes=tuple(cfg.bucket_sizes), doc_pad_multiple=1
+            ),
+            cfg.bucket_sizes,
+            cfg.doc_pad_multiple,
+            self._mesh,
+            corpus.global_doc_offset,
         )
-        all_hist = np.asarray(
-            multihost_utils.process_allgather(hist)
-        ).reshape(jax.process_count(), len(widths))
-        max_rows = all_hist.max(axis=0)
-        out: List[layouts.VBBatch] = []
-        for w, rows in zip(widths, max_rows):
-            if rows == 0:
-                continue
-            rows = round_up(int(rows), cfg.doc_pad_multiple)
-            b = local.get(w)
-            ids = np.zeros((rows, w), dtype=np.int32)
-            cnts = np.zeros((rows, w), dtype=np.float32)
-            mask = np.zeros((rows,), dtype=np.float32)
-            doc_ids = np.full((rows,), -1, dtype=np.int32)
-            if b is not None:
-                n = b.ids.shape[0]
-                ids[:n] = b.ids
-                cnts[:n] = b.cnts
-                mask[:n] = b.mask
-                doc_ids[:n] = np.where(
-                    b.doc_ids >= 0,
-                    b.doc_ids + corpus.global_doc_offset,
-                    -1,
-                )
-            padded = RaggedBucket(
-                ids=ids, cnts=cnts, mask=mask, doc_ids=doc_ids
-            )
-            out.append(lift_process_local_batch(padded, self._mesh))
-        return out
 
     def _prepare(self, corpus: Corpus) -> None:
         self._batches = self._build_batches(corpus)

@@ -207,6 +207,84 @@ def lift_process_local_batch(batch, mesh: Mesh):
     return type(batch)(**{f: lift(f, s) for f, s in specs.items()})
 
 
+def lift_process_local_buckets(
+    local_buckets,
+    bucket_sizes,
+    doc_pad_multiple: int,
+    mesh: Mesh,
+    global_doc_offset: int,
+):
+    """Negotiate UNIFORM bucket geometry across hosts and lift.
+
+    Each host's corpus block yields different per-width row counts (and
+    possibly missing widths entirely), but
+    ``make_array_from_process_local_data`` needs identically-shaped
+    locals on every host.  Protocol (SURVEY.md section 7.3 "Multi-host
+    input pipeline"): allgather the rows-per-width histogram, take the
+    elementwise max, pad every host's buckets to that row count (padding
+    rows are inert: zero counts/mask, doc id -1), re-base doc ids to
+    GLOBAL indices, and lift each bucket with document sharding.
+
+    Works for any registered batch dataclass whose first 2-D field's
+    second dim is the bucket width (RaggedBucket, SequenceBucket).
+    ``local_buckets`` must be built UNPADDED (doc_pad_multiple=1)."""
+    from jax.experimental import multihost_utils
+
+    def width_of(b):
+        for f in b.__dataclass_fields__:
+            v = getattr(b, f)
+            if v.ndim == 2:
+                return v.shape[1]
+        raise TypeError(f"no 2-D field on {type(b).__name__}")
+
+    local = {width_of(b): b for b in local_buckets}
+    widths = sorted(set(bucket_sizes))
+    hist = np.asarray(
+        [local[w].mask.shape[0] if w in local else 0 for w in widths],
+        dtype=np.int32,
+    )
+    all_hist = np.asarray(
+        multihost_utils.process_allgather(hist)
+    ).reshape(jax.process_count(), len(widths))
+    max_rows = all_hist.max(axis=0)
+    out = []
+    for w, rows in zip(widths, max_rows):
+        if rows == 0:
+            continue
+        rows = -(-int(rows) // doc_pad_multiple) * doc_pad_multiple
+        b = local.get(w)
+        cls = type(b) if b is not None else type(local_buckets[0])
+        fields = {}
+        for f, spec in cls.__dataclass_fields__.items():
+            if b is not None:
+                src = getattr(b, f)
+                shape = (rows,) + src.shape[1:]
+                dtype = src.dtype
+            else:
+                tmpl = getattr(local_buckets[0], f)
+                shape = (rows,) + (
+                    (w,) if tmpl.ndim == 2 else ()
+                )
+                dtype = tmpl.dtype
+            arr = (
+                np.full(shape, -1, dtype=dtype)
+                if f == "doc_ids"
+                else np.zeros(shape, dtype=dtype)
+            )
+            if b is not None:
+                n = getattr(b, f).shape[0]
+                arr[:n] = getattr(b, f)
+                if f == "doc_ids":
+                    arr[:n] = np.where(
+                        getattr(b, f) >= 0,
+                        getattr(b, f) + global_doc_offset,
+                        -1,
+                    )
+            fields[f] = arr
+        out.append(lift_process_local_batch(cls(**fields), mesh))
+    return out
+
+
 def shard_stacked_batch(batch, mesh: Mesh, process_local: bool = False):
     """Place a host batch whose fields carry a LEADING STACK AXIS
     [n, rows, ...] — an epoch of same-shape minibatches stacked for a

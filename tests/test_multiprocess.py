@@ -189,6 +189,91 @@ def test_two_process_ragged_sharded_input_matches_full_load(tmp_path):
         ref_gsum, results)
 
 
+_SAMPLING_WORKER = textwrap.dedent("""
+import os, sys
+rank = int(sys.argv[1]); port = sys.argv[2]; corpus_dir = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=rank
+)
+import numpy as np
+from jax.experimental import multihost_utils
+from pylda_tpu.corpus.datasets import load_input_directory
+from pylda_tpu.models import Hybrid, MonteCarlo
+from pylda_tpu.parallel.mesh import make_mesh, host_gather
+from pylda_tpu.utils.config import LDAConfig
+
+train, test, vocab = load_input_directory(
+    corpus_dir, process_index=rank, process_count=2
+)
+global_tokens = int(multihost_utils.process_allgather(
+    jax.numpy.asarray(train.num_tokens)).sum())
+mesh = make_mesh(shape=(4, 1))
+
+cfg = LDAConfig(
+    number_of_topics=5, doc_pad_multiple=4, seed=0,
+    bucket_sizes=(32, 64), number_of_samples=2, burn_in_sweeps=1,
+    inference_mode="gibbs",
+)
+gib = MonteCarlo(cfg)
+gib.initialize(train, vocab, mesh=mesh)
+lls = [gib.learning() for _ in range(2)]
+n_kv = host_gather(gib._n_kv)
+pp = gib.perplexity(test)
+
+hyb = Hybrid(LDAConfig(
+    number_of_topics=5, doc_pad_multiple=4, seed=0,
+    bucket_sizes=(32, 64), number_of_samples=2, burn_in_sweeps=1,
+    inference_mode="hybrid",
+))
+hyb.initialize(train, vocab, mesh=mesh)
+elbos = [hyb.learning() for _ in range(2)]
+hlam = float(np.asarray(host_gather(hyb.state.lam), dtype=np.float64).sum())
+
+print(f"RESULT rank={rank} gtok={global_tokens} nkv={n_kv.sum():.1f} "
+      f"nkvck={float(np.abs(n_kv).sum()):.4f} ll={lls[-1]:.2f} "
+      f"pp={pp:.3f} helbo={elbos[-1]:.2f} hlam={hlam:.4f}", flush=True)
+""")
+
+
+def test_two_process_sampling_engines_conserve_counts(tmp_path):
+    """Multi-host Gibbs + hybrid (SURVEY.md section 2.2 DP row): each
+    host holds its doc block; the per-sweep n_kv rebuild crosses the
+    process boundary.  Gate: global count-table conservation (sum n_kv
+    == corpus tokens), bitwise rank agreement, finite objectives."""
+    from pylda_tpu.corpus.datasets import make_denews_tiny
+
+    corpus_dir = str(tmp_path / "corpus")
+    make_denews_tiny(corpus_dir, num_train=120, num_test=30,
+                     mean_doc_length=25)
+    port = "12509"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _SAMPLING_WORKER, str(r), port,
+             corpus_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for r in range(2)
+    ]
+    results = {}
+    for r, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-3000:]
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        results[r] = dict(kv.split("=") for kv in line.split()[1:])
+    # Count conservation across 2 hosts: no token lost or duplicated.
+    assert float(results[0]["nkv"]) == float(results[0]["gtok"]), results
+    # Ranks agree bitwise on tables, objectives, and the hybrid lambda.
+    for k in ("nkvck", "ll", "pp", "helbo", "hlam"):
+        assert results[0][k] == results[1][k], (k, results)
+    import math
+
+    assert math.isfinite(float(results[0]["ll"]))
+    assert math.isfinite(float(results[0]["helbo"]))
+
+
 _SVI_WORKER = textwrap.dedent("""
 import os, sys
 rank = int(sys.argv[1]); port = sys.argv[2]; corpus_dir = sys.argv[3]
