@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 = mixed-precision E-step contractions "
                         "(bf16 inputs, f32 accumulation)")
     p.add_argument("--gamma_init", default="gamma", choices=["gamma", "ones"])
+    p.add_argument("--checkpoint_format", default="npz",
+                   choices=["npz", "orbax"],
+                   help="model-<N> snapshots as one npz file (default) or "
+                        "an orbax/tensorstore checkpoint directory")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace into this directory")
     p.add_argument("--phase_timing", action="store_true",
@@ -139,6 +143,7 @@ def config_from_args(args) -> LDAConfig:
         dtype=args.dtype,
         compute_dtype=args.compute_dtype,
         gamma_init=args.gamma_init,
+        checkpoint_format=args.checkpoint_format,
     ).validate()
 
 

@@ -243,15 +243,21 @@ class Inferencer:
     def _load_extra_state(self, blobs: dict) -> None:
         pass
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, format: Optional[str] = None) -> None:
         """Serialise (state pytree, vocab, config) — the sharding-aware
         analog of the reference's ``cPickle.dump(engine, model-<N>)``.
 
+        ``format``: "npz" (default; one file) or "orbax" (a checkpoint
+        DIRECTORY written via orbax/tensorstore — SURVEY.md section 5
+        names it first); defaults to ``config.checkpoint_format``.
+        ``load`` auto-detects the format from the path.
+
         Call from EVERY process (gathers are collective when state is
-        sharded across hosts); only host 0 writes the file."""
+        sharded across hosts); only host 0 writes."""
         from pylda_tpu.parallel.mesh import host_gather
         from pylda_tpu.utils.metrics import is_host_zero
 
+        fmt = format or getattr(self._config, "checkpoint_format", "npz")
         st = self.state
         blobs = {
             "lam": host_gather(st.lam),
@@ -259,10 +265,10 @@ class Inferencer:
             "eta": host_gather(st.eta),
             "step": np.asarray(st.step),
             "key": np.asarray(st.key),
-            "vocab": np.asarray(self._vocab.types if self._vocab else []),
         }
         blobs.update(
-            {f"extra_{k}": v for k, v in self._extra_state().items()}
+            {f"extra_{k}": np.asarray(v)
+             for k, v in self._extra_state().items()}
         )
         meta = {
             "config": {
@@ -272,11 +278,30 @@ class Inferencer:
             "engine": type(self).__name__,
             "format_version": 1,
         }
+        if not is_host_zero():
+            return
+        if fmt == "orbax":
+            # Numeric arrays go through orbax/tensorstore; vocab +
+            # config live in meta.json (string arrays are not a
+            # tensorstore type).  State was host-gathered above, so the
+            # write is single-controller; elastic resume re-shards on
+            # load exactly as with npz.
+            import orbax.checkpoint as ocp
+
+            path = os.path.abspath(path)
+            meta["vocab"] = list(self._vocab.types) if self._vocab else []
+            os.makedirs(path, exist_ok=True)
+            ckptr = ocp.PyTreeCheckpointer()
+            ckptr.save(os.path.join(path, "state"), blobs, force=True)
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
+            return
+        blobs["vocab"] = np.asarray(
+            self._vocab.types if self._vocab else []
+        )
         blobs["meta_json"] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8
         )
-        if not is_host_zero():
-            return
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         with open(path, "wb") as f:
             np.savez(f, **blobs)
@@ -285,7 +310,8 @@ class Inferencer:
     def load(
         path: str, corpus: Optional[Corpus] = None, mesh=None
     ) -> "Inferencer":
-        """Restore an engine from a ``model-<N>`` checkpoint.
+        """Restore an engine from a ``model-<N>`` checkpoint (npz file
+        or orbax directory — auto-detected).
 
         If ``corpus`` is given the engine is fully re-initialised for
         continued training (pass ``mesh`` to resume sharded — elastic:
@@ -294,9 +320,22 @@ class Inferencer:
         """
         from pylda_tpu import models as _models
 
-        with open(path, "rb") as f:
-            blobs = dict(np.load(f, allow_pickle=False))
-        meta = json.loads(bytes(blobs.pop("meta_json").tobytes()).decode())
+        if os.path.isdir(path):
+            import orbax.checkpoint as ocp
+
+            with open(os.path.join(path, "meta.json")) as f:
+                meta = json.load(f)
+            ckptr = ocp.PyTreeCheckpointer()
+            blobs = dict(
+                ckptr.restore(os.path.join(os.path.abspath(path), "state"))
+            )
+            blobs["vocab"] = np.asarray(meta.pop("vocab", []))
+        else:
+            with open(path, "rb") as f:
+                blobs = dict(np.load(f, allow_pickle=False))
+            meta = json.loads(
+                bytes(blobs.pop("meta_json").tobytes()).decode()
+            )
         cfg_d = meta["config"]
         cfg_d["bucket_sizes"] = tuple(cfg_d.get("bucket_sizes") or ())
         if cfg_d.get("mesh_shape"):

@@ -118,6 +118,11 @@ class LDAConfig:
     # with shard_vocab.
     shard_topics: bool = False
 
+    # ----- checkpointing -----
+    # "npz" (single file) or "orbax" (directory via orbax/tensorstore;
+    # SURVEY.md section 5 "Checkpoint / resume").  load() auto-detects.
+    checkpoint_format: str = "npz"
+
     # ----- misc -----
     seed: int = 0
 
@@ -146,6 +151,10 @@ class LDAConfig:
             raise ValueError(f"unknown compute_dtype: {self.compute_dtype}")
         if self.gamma_init not in ("gamma", "ones"):
             raise ValueError(f"unknown gamma_init: {self.gamma_init}")
+        if self.checkpoint_format not in ("npz", "orbax"):
+            raise ValueError(
+                f"unknown checkpoint_format: {self.checkpoint_format}"
+            )
         if self.use_pallas not in ("never", "always"):
             raise ValueError(f"unknown use_pallas: {self.use_pallas}")
         if self.shard_vocab and self.shard_topics:

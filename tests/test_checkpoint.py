@@ -96,3 +96,42 @@ def test_elastic_reshard_restore(corpus, tmp_path):
     ll_sharded = res.learning()
     ll_single = eng.learning()
     assert abs(ll_sharded - ll_single) / abs(ll_single) < 1e-4
+
+
+@pytest.mark.parametrize("mode", ["vb", "gibbs"])
+def test_orbax_backend_round_trip(mode, corpus, tmp_path):
+    """checkpoint_format="orbax" (SURVEY.md section 5): directory
+    checkpoint via orbax/tensorstore; load auto-detects the format and
+    resuming matches the continuous run exactly — including engine
+    extras (Gibbs z / count tables)."""
+    cont = make_engine(_cfg(mode, checkpoint_format="orbax"))
+    cont.initialize(corpus)
+    for _ in range(2):
+        cont.learning()
+    path = str(tmp_path / f"model-orbax-{mode}")
+    cont.save(path)
+    import os
+
+    assert os.path.isdir(path)  # directory checkpoint, not a file
+    lls_cont = [cont.learning() for _ in range(2)]
+
+    res = Inferencer.load(path, corpus=corpus)
+    assert type(res).__name__ == type(cont).__name__
+    assert res._counter == 2
+    lls_res = [res.learning() for _ in range(2)]
+    np.testing.assert_allclose(lls_res, lls_cont, rtol=1e-6)
+    if mode == "vb":
+        np.testing.assert_array_equal(
+            np.asarray(res.state.lam), np.asarray(cont.state.lam)
+        )
+
+
+def test_orbax_inference_only_restore(corpus, tmp_path):
+    eng = make_engine(_cfg("vb"))
+    eng.initialize(corpus)
+    eng.learning()
+    path = str(tmp_path / "model-orbax-infer")
+    eng.save(path, format="orbax")
+    res = Inferencer.load(path)
+    ll, gamma = res.inference(corpus)
+    assert np.isfinite(ll) and gamma.shape == (corpus.num_docs, 4)
