@@ -17,8 +17,12 @@ processes — observed repeatedly on this machine).  Mechanisms:
 
 - a watchdog thread that, at ``BENCH_DEADLINE_SECONDS`` (default 420 s)
   minus a safety margin, emits a fallback line and ``os._exit``s — a
-  wedged XLA dispatch cannot be interrupted any other way;
-- a short subprocess TPU probe (<= 75 s, one retry, no long sleeps);
+  wedged XLA dispatch cannot be interrupted any other way, and os._exit
+  terminates even with hung runtime threads.  No pre-probe: a separate
+  probe process was measured to false-negative right after another
+  process releases the device (fresh-process init ranged 30 s to
+  minutes), so the whole budget goes to the real measurement and the
+  watchdog is the only escape hatch;
 - ``BENCH_CACHE.json`` (committed): the last successful live result.
   When the device is unusable or time runs out, that result is re-emitted
   with ``"stale": true`` + a reason, so ``parsed: null`` is impossible;
@@ -32,7 +36,6 @@ Prints ONE JSON line:
 
 import json
 import os
-import subprocess
 import sys
 import threading
 import time
@@ -109,41 +112,17 @@ def _remaining() -> float:
     return _DEADLINE - (time.time() - _T0)
 
 
-def _probe_tpu() -> bool:
-    """Can the device run a trivial op?  Short timeouts, no long sleeps:
-    the wedge typically clears in ~4 min, which no driver window allows
-    us to wait out — if it is wedged now, fall back to the cache."""
-    code = "import jax, jax.numpy as jnp; print(float(jnp.ones(4).sum()))"
-    for attempt in range(2):
-        budget = min(75.0, _remaining() - 60.0)
-        if budget < 10.0:
-            return False
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c", code],
-                capture_output=True, timeout=budget,
-            )
-            if probe.returncode == 0:
-                return True
-            return False  # instant failure = real breakage, not a wedge
-        except subprocess.TimeoutExpired:
-            if attempt == 0 and _remaining() > 150.0:
-                time.sleep(20.0)  # brief grace, then one more try
-    return False
-
-
 def main() -> int:
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    if not _probe_tpu():
-        _emit(_fallback("TPU probe timed out (device wedged)"))
-        return 0
-
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache")
-    )
     import jax
 
+    # NOTE: the env var JAX_COMPILATION_CACHE_DIR is useless here — the
+    # machine's sitecustomize imports jax at interpreter startup, before
+    # this line runs — so set the config keys directly (runtime-settable).
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from pylda_tpu.corpus.synthetic import synthetic_corpus

@@ -57,19 +57,21 @@ def test_ragged_layout_conserves_counts(docs):
 
 @settings(max_examples=25, deadline=None)
 @given(docs=docs_strategy)
-def test_sequence_layout_conserves_tokens_up_to_truncation(docs):
+def test_sequence_layout_conserves_all_tokens(docs):
+    """Blocking semantics: docs longer than the largest bucket are split
+    into multiple rows sharing a doc id — every token survives (the
+    round-1 layout truncated; SURVEY.md §5 long-context analog (a))."""
     corpus = Corpus([np.asarray(d, np.int32) for d in docs], _vocab)
-    max_bucket = 16
     buckets = corpus.to_sequence_buckets(
-        bucket_sizes=(4, 8, max_bucket), doc_pad_multiple=4
+        bucket_sizes=(4, 8, 16), doc_pad_multiple=4
     )
     seen = {}
     for b in buckets:
         for row, d in enumerate(b.doc_ids):
             if d >= 0:
-                seen[d] = int(b.token_mask[row].sum())
+                seen[d] = seen.get(d, 0) + int(b.token_mask[row].sum())
     for d in range(corpus.num_docs):
-        assert seen.get(d, 0) == min(corpus.docs[d].size, max_bucket)
+        assert seen.get(d, 0) == corpus.docs[d].size
 
 
 @settings(max_examples=15, deadline=None)
