@@ -35,6 +35,12 @@ class Hybrid(VariationalBayes):
 
     SUPPORTS_PROCESS_LOCAL = True
 
+    def _plan_dense_sstats(self, corpus: Corpus):
+        # The local step is sampling-based: sufficient statistics come
+        # from averaged z draws, not from a gamma fixed point, so the
+        # VB dense-sstats shortcut does not apply.
+        return None
+
     def _build_batches(self, corpus: Corpus) -> List[SequenceBucket]:
         cfg = self._config
         if (
@@ -69,7 +75,10 @@ class Hybrid(VariationalBayes):
             )
         )
 
-    def _run_estep(self, batches, lam, alpha, key):
+    def _run_estep(
+        self, batches, lam, alpha, key,
+        dense_chunks=None, docs_mask=None, num_docs=None,
+    ):
         """Sampled local step over every sequence bucket.
 
         Same return contract as the VB E-step: (gammas, sstats,

@@ -58,6 +58,10 @@ class StochasticVariationalBayes(VariationalBayes):
         self._gamma_np = None
         self._gammas_dev = None
         self._gamma_doc_ids = None
+        # Minibatch E-steps keep the in-bucket scatter sstats: their
+        # dense chunks would have to be stacked per-epoch for the fused
+        # scan, multiplying the dense memory by the minibatch count.
+        self._sstats_plan = None
         self._t = getattr(self, "_t", 0)  # global minibatch counter
         self._jit_minibatch = jax.jit(self._minibatch_step)
         self._jit_epoch_scan = jax.jit(self._epoch_scan)

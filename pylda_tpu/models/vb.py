@@ -37,8 +37,14 @@ from pylda_tpu.ops.dirichlet import (
     exp_dirichlet_expectation,
     theta_elbo,
 )
-from pylda_tpu.ops.estep import estep_dense, estep_ragged
+from pylda_tpu.ops.estep import (
+    estep_dense,
+    estep_dense_sstats,
+    estep_ragged,
+    estep_ragged_gamma,
+)
 from pylda_tpu.ops.hyper import newton_dirichlet_mle
+from pylda_tpu.utils import round_up as _round_up
 
 
 def _gamma_init(key, shape, dtype, mode):
@@ -108,6 +114,19 @@ def _vb_ragged_batch(
 @jax.jit
 def _elog_lambda_sum(lam):
     return dirichlet_expectation(lam).sum(axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_docs",))
+def _assemble_gamma_device(rows, row_doc_ids, alpha, num_docs: int):
+    """Recombine per-row gammas (bucket rows; chunked long docs share a
+    doc id) into per-DOCUMENT gamma [num_docs, K], on device: gamma_doc =
+    alpha + sum_rows (gamma_row - alpha), exact at fixed phi.  Padding
+    rows (doc id -1) fall into a discarded overflow segment."""
+    idx = jnp.where(row_doc_ids >= 0, row_doc_ids, num_docs)
+    delta = jax.ops.segment_sum(
+        rows - alpha[None, :], idx, num_segments=num_docs + 1
+    )[:num_docs]
+    return alpha[None, :] + delta
 
 
 class VariationalBayes(Inferencer):
@@ -181,6 +200,7 @@ class VariationalBayes(Inferencer):
 
     def _prepare(self, corpus: Corpus) -> None:
         self._batches = self._build_batches(corpus)
+        self._sstats_plan = self._plan_dense_sstats(corpus)
         self._gamma_np: Optional[np.ndarray] = None
         self._gammas_dev: Optional[List[jax.Array]] = None
         self._gamma_doc_ids: Optional[List[np.ndarray]] = None
@@ -193,13 +213,133 @@ class VariationalBayes(Inferencer):
             self._iterations_scan, static_argnames=("n", "hyper_interval")
         )
 
+    # -- hybrid sstats plan: ragged sweeps + scatter-free dense sstats ------------
+
+    def _plan_dense_sstats(self, corpus: Corpus):
+        """Decide whether the ragged layout should compute sufficient
+        statistics against a corpus-static dense counts matrix instead of
+        the row segment-sum scatter (ops/estep.estep_dense_sstats: the
+        matmul form measured ~4x faster than ANY scatter variant on TPU).
+
+        Returns None (keep the in-bucket scatter) or a dict with
+        ``chunks`` (list of DenseBatch, doc-chunked to the memory
+        budget), ``docs_mask`` ([num_docs] f32, non-empty docs — keeps
+        the theta-ELBO/elog_sum sums identical to the row-wise path) and
+        ``num_docs``.  Gated off for: dense layouts (their E-step is
+        already matmul-form), process-sharded corpora (each host would
+        need the global dense matrix), and sstats_mode="scatter"."""
+        cfg = self._config
+        if cfg.sstats_mode == "scatter":
+            return None
+        if corpus.num_types <= cfg.dense_vocab_threshold:
+            return None  # dense layout: estep_dense is already matmul-form
+        if (
+            getattr(corpus, "process_local", False)
+            and jax.process_count() > 1
+        ):
+            return None
+        total_mb = corpus.num_docs * corpus.num_types * 4 / 1e6
+        if total_mb > cfg.sstats_dense_total_budget_mb:
+            # Every chunk is device-resident for the whole run (a 400k-doc
+            # V=100k corpus would need 160 GB dense): keep the scatter.
+            return None
+        if getattr(corpus, "docs", None) is None:
+            return None  # disk-backed corpus (no in-RAM doc list)
+        pad = cfg.doc_pad_multiple
+        rows_budget = int(cfg.sstats_dense_budget_mb * 1e6
+                          // (4 * corpus.num_types))
+        rows_budget = max(pad, (rows_budget // pad) * pad)
+        num_docs = corpus.num_docs
+        chunks = []
+        for start in range(0, num_docs, rows_budget):
+            stop = min(num_docs, start + rows_budget)
+            chunks.append(
+                corpus.to_dense(
+                    doc_indices=range(start, stop),
+                    pad_docs_to=_round_up(stop - start, pad),
+                )
+            )
+        docs_mask = np.asarray(
+            [d.size > 0 for d in corpus.docs], np.float32
+        )
+        return {
+            "chunks": self._maybe_shard(chunks),
+            "docs_mask": jnp.asarray(docs_mask),
+            "num_docs": num_docs,
+        }
+
     # -- E-step over every batch (traced; one sub-call per batch shape) ----------
 
+    def _run_estep_hybrid(
+        self, batches, lam, alpha, key, dense_chunks, docs_mask,
+        num_docs: int,
+    ):
+        """Ragged sweeps + scatter-free dense sufficient statistics.
+
+        Per bucket: gamma fixed point only (``estep_ragged_gamma``).
+        Bucket-row gammas (chunked long docs included) recombine into
+        per-DOCUMENT gamma on device, then sstats + token score come from
+        ``estep_dense_sstats`` against the corpus-static dense counts
+        chunks — two MXU matmuls instead of a 500k-row scatter.  The
+        theta-ELBO and elog sums are computed on the per-document gamma,
+        which for chunked long documents is *more* faithful to the
+        reference's per-document bound than the old per-chunk-row sum.
+        """
+        cfg = self._config
+        eeb = exp_dirichlet_expectation(lam)
+        rows, row_ids = [], []
+        for i, b in enumerate(batches):
+            sub = jax.random.fold_in(key, i)
+            gamma0 = _gamma_init(
+                sub, (b.ids.shape[0], alpha.shape[0]), lam.dtype,
+                cfg.gamma_init,
+            )
+            g, _sweeps = estep_ragged_gamma(
+                b.ids, b.cnts, gamma0, eeb, alpha,
+                inner_iterations=cfg.inner_iterations,
+                convergence_threshold=cfg.convergence_threshold,
+                eps=cfg.eps,
+                compute_dtype=cfg.compute_dtype,
+            )
+            rows.append(g)
+            row_ids.append(jnp.asarray(b.doc_ids))
+        gamma_docs = _assemble_gamma_device(
+            jnp.concatenate(rows, axis=0),
+            jnp.concatenate(row_ids, axis=0),
+            alpha,
+            num_docs=num_docs,
+        )
+        et_docs = exp_dirichlet_expectation(gamma_docs)
+        sstats = None
+        token_score = jnp.zeros((), dtype=self._dtype)
+        for ch in dense_chunks:
+            cidx = jnp.where(ch.doc_ids >= 0, ch.doc_ids, 0)
+            # Padding rows gather doc 0's expEtheta but carry all-zero
+            # counts — inert in both sstats and the token score.
+            ss, tok = estep_dense_sstats(
+                ch.counts, et_docs[cidx], eeb,
+                eps=cfg.eps, compute_dtype=cfg.compute_dtype,
+            )
+            sstats = ss if sstats is None else sstats + ss
+            token_score = token_score + tok
+        theta_score = theta_elbo(gamma_docs, alpha, docs_mask)
+        elog_sum = (
+            dirichlet_expectation(gamma_docs) * docs_mask[:, None]
+        ).sum(axis=0)
+        return [gamma_docs], sstats, token_score, theta_score, elog_sum
+
     def _run_estep(
-        self, batches: List[layouts.VBBatch], lam, alpha, key
+        self, batches: List[layouts.VBBatch], lam, alpha, key,
+        dense_chunks=None, docs_mask=None, num_docs: Optional[int] = None,
     ):
         """Run the E-step over every batch; returns device accumulators."""
         cfg = self._config
+        if dense_chunks is not None:
+            return self._run_estep_hybrid(
+                batches, lam, alpha, key, dense_chunks, docs_mask,
+                num_docs if num_docs is not None
+                else self._sstats_plan["num_docs"],
+            )
         sstats = None
         token_score = jnp.zeros((), dtype=self._dtype)
         theta_score = jnp.zeros((), dtype=self._dtype)
@@ -246,13 +386,15 @@ class VariationalBayes(Inferencer):
     # -- one full VB iteration, fully on device -----------------------------------
 
     def _iteration(
-        self, state: LDAState, batches, update_hypers: bool
+        self, state: LDAState, batches, dense_chunks, docs_mask,
+        update_hypers: bool,
     ):
         """One batch-VB iteration as a pure function of (state, batches)."""
         cfg = self._config
         key, sub = jax.random.split(state.key)
         gammas, sstats, token_score, theta_score, elog_sum = self._run_estep(
-            batches, state.lam, state.alpha, sub
+            batches, state.lam, state.alpha, sub,
+            dense_chunks=dense_chunks, docs_mask=docs_mask,
         )
         elbo = token_score + theta_score + beta_elbo(state.lam, state.eta)
         lam_new = state.eta[None, :] + sstats
@@ -275,7 +417,8 @@ class VariationalBayes(Inferencer):
         return new_state, elbo, gammas
 
     def _iterations_scan(
-        self, state: LDAState, batches, n: int, hyper_interval: int
+        self, state: LDAState, batches, dense_chunks, docs_mask, n: int,
+        hyper_interval: int,
     ):
         """n full iterations in one lax.scan (one dispatch total).
 
@@ -289,22 +432,30 @@ class VariationalBayes(Inferencer):
                 do_up = (st.step + 1) % hyper_interval == 0
 
                 def with_up(s):
-                    return self._iteration(s, batches, update_hypers=True)[:2]
+                    return self._iteration(
+                        s, batches, dense_chunks, docs_mask,
+                        update_hypers=True,
+                    )[:2]
 
                 def without_up(s):
-                    return self._iteration(s, batches, update_hypers=False)[:2]
+                    return self._iteration(
+                        s, batches, dense_chunks, docs_mask,
+                        update_hypers=False,
+                    )[:2]
 
                 new_st, elbo = jax.lax.cond(do_up, with_up, without_up, st)
             else:
                 new_st, elbo, _ = self._iteration(
-                    st, batches, update_hypers=False
+                    st, batches, dense_chunks, docs_mask, update_hypers=False
                 )
             return new_st, elbo
 
         new_state, elbos = jax.lax.scan(body, state, None, length=n)
         # Final gammas for export/snapshotting: recompute at the final
         # lambda (the E-step at fixed lambda is what defines gamma).
-        _, _, gammas = self._iteration(new_state, batches, update_hypers=False)
+        _, _, gammas = self._iteration(
+            new_state, batches, dense_chunks, docs_mask, update_hypers=False
+        )
         return new_state, elbos, gammas
 
     # -- public training surface ---------------------------------------------------
@@ -317,12 +468,16 @@ class VariationalBayes(Inferencer):
         st = self.state
         interval = self._config.hyper_parameter_optimize_interval
         update = interval > 0 and (self._counter + 1) % interval == 0
+        plan = self._sstats_plan
         new_state, elbo, gammas = self._jit_iteration(
-            st, self._batches, update_hypers=update
+            st, self._batches,
+            plan["chunks"] if plan else None,
+            plan["docs_mask"] if plan else None,
+            update_hypers=update,
         )
         self._state = new_state
         self._step_host = self._counter + 1
-        self._set_gammas(gammas, [b.doc_ids for b in self._batches])
+        self._set_gammas(gammas, self._gamma_doc_ids_for(self._batches, plan))
         return float(elbo)
 
     def learning_many(self, n: int) -> List[float]:
@@ -332,14 +487,26 @@ class VariationalBayes(Inferencer):
         if n <= 0:
             return []
         st = self.state
+        plan = self._sstats_plan
         new_state, elbos, gammas = self._jit_scan(
-            st, self._batches, n=n,
+            st, self._batches,
+            plan["chunks"] if plan else None,
+            plan["docs_mask"] if plan else None,
+            n=n,
             hyper_interval=self._config.hyper_parameter_optimize_interval,
         )
         self._state = new_state
         self._step_host = self._counter + n
-        self._set_gammas(gammas, [b.doc_ids for b in self._batches])
+        self._set_gammas(gammas, self._gamma_doc_ids_for(self._batches, plan))
         return [float(x) for x in np.asarray(elbos)]
+
+    def _gamma_doc_ids_for(self, batches, plan) -> List[np.ndarray]:
+        """Row->document maps matching the gammas the E-step returned:
+        per-bucket rows on the scatter path, one per-document block on
+        the hybrid dense-sstats path."""
+        if plan is not None:
+            return [np.arange(plan["num_docs"], dtype=np.int32)]
+        return [b.doc_ids for b in batches]
 
     # -- per-phase timing (debug/observability surface) -----------------------------
 
@@ -371,25 +538,66 @@ class VariationalBayes(Inferencer):
             out[name] = round(best * 1e3, 3)
             return r
 
-        estep1 = jax.jit(
-            lambda b, lam, alpha, k: self._run_estep([b], lam, alpha, k)
-        )
-        sstats, elog_sum = None, None
-        for i, b in enumerate(self._batches):
-            shape = (
-                f"dense{tuple(b.counts.shape)}"
-                if isinstance(b, DenseBatch)
-                else f"rows{b.mask.shape[0]}"
+        plan = self._sstats_plan
+        if plan is not None:
+            # Hybrid path: the ragged sweeps + dense sstats are one fused
+            # unit; time them as the production E-step plus a separate
+            # sweeps-only row so the sstats share is visible.
+            full = jax.jit(
+                lambda bs, lam, alpha, k: self._run_estep(
+                    bs, lam, alpha, k,
+                    dense_chunks=plan["chunks"],
+                    docs_mask=plan["docs_mask"],
+                )
             )
             r = timed(
-                f"estep_batch{i}_{shape}_ms", estep1, b, st.lam, st.alpha,
-                jax.random.fold_in(key, i),
+                "estep_hybrid_full_ms", full, self._batches, st.lam,
+                st.alpha, key,
             )
-            sstats = r[1] if sstats is None else sstats + r[1]
-            elog_sum = r[4] if elog_sum is None else elog_sum + r[4]
-        out["estep_total_ms"] = round(
-            sum(v for k, v in out.items() if k.startswith("estep_batch")), 3
-        )
+            sstats, elog_sum = r[1], r[4]
+            sweeps_only = jax.jit(
+                lambda bs, lam, alpha, k: [
+                    estep_ragged_gamma(
+                        b.ids, b.cnts,
+                        _gamma_init(
+                            jax.random.fold_in(k, i),
+                            (b.ids.shape[0], alpha.shape[0]), lam.dtype,
+                            cfg.gamma_init,
+                        ),
+                        exp_dirichlet_expectation(lam), alpha,
+                        inner_iterations=cfg.inner_iterations,
+                        convergence_threshold=cfg.convergence_threshold,
+                        eps=cfg.eps, compute_dtype=cfg.compute_dtype,
+                    )[0]
+                    for i, b in enumerate(bs)
+                ]
+            )
+            timed(
+                "estep_sweeps_only_ms", sweeps_only, self._batches, st.lam,
+                st.alpha, key,
+            )
+            out["estep_total_ms"] = out["estep_hybrid_full_ms"]
+        else:
+            estep1 = jax.jit(
+                lambda b, lam, alpha, k: self._run_estep([b], lam, alpha, k)
+            )
+            sstats, elog_sum = None, None
+            for i, b in enumerate(self._batches):
+                shape = (
+                    f"dense{tuple(b.counts.shape)}"
+                    if isinstance(b, DenseBatch)
+                    else f"rows{b.mask.shape[0]}"
+                )
+                r = timed(
+                    f"estep_batch{i}_{shape}_ms", estep1, b, st.lam, st.alpha,
+                    jax.random.fold_in(key, i),
+                )
+                sstats = r[1] if sstats is None else sstats + r[1]
+                elog_sum = r[4] if elog_sum is None else elog_sum + r[4]
+            out["estep_total_ms"] = round(
+                sum(v for k, v in out.items() if k.startswith("estep_batch")),
+                3,
+            )
         mstep = jax.jit(lambda eta, ss: eta[None, :] + ss)
         lam_new = timed("mstep_ms", mstep, st.eta, sstats)
         timed("bound_ms", jax.jit(beta_elbo), st.lam, st.eta)
@@ -442,15 +650,19 @@ class VariationalBayes(Inferencer):
         returns (doc-side bound, gamma in corpus order)."""
         st = self.state
         batches = self._build_batches(test_corpus)
+        plan = self._plan_dense_sstats(test_corpus)
         key = jax.random.fold_in(st.key, 0x7E57)
         gammas, _, token_score, theta_score, _ = self._run_estep(
-            batches, st.lam, st.alpha, key
+            batches, st.lam, st.alpha, key,
+            dense_chunks=plan["chunks"] if plan else None,
+            docs_mask=plan["docs_mask"] if plan else None,
+            num_docs=plan["num_docs"] if plan else None,
         )
         from pylda_tpu.parallel.mesh import host_gather
 
         ll = float(token_score + theta_score)
         gamma = layouts.assemble_gamma(
-            [host_gather(b.doc_ids) for b in batches],
+            [host_gather(i) for i in self._gamma_doc_ids_for(batches, plan)],
             [host_gather(g) for g in gammas],
             test_corpus.num_docs,
             host_gather(st.alpha),

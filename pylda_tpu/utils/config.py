@@ -86,6 +86,21 @@ class LDAConfig:
     # Pad the document axis of every bucket to a multiple of this to bound
     # the number of distinct compiled shapes.
     doc_pad_multiple: int = 64
+    # Sufficient-statistics strategy for the ragged (large-vocab) layout:
+    # "auto" computes sstats + token score against a corpus-static dense
+    # counts matrix (two MXU matmuls; ~4x faster than any TPU scatter
+    # variant — ops/estep.estep_dense_sstats) whenever the corpus is not
+    # process-sharded; "scatter" keeps the row segment-sum inside each
+    # bucket (the only option for multi-host process-local input).
+    sstats_mode: str = "auto"
+    # Per-chunk budget for the dense sstats counts matrix; docs are
+    # chunked so each [rows, V] f32 chunk stays under this (bounds the
+    # [rows, V] phinorm temporary of each estep_dense_sstats call).
+    sstats_dense_budget_mb: int = 512
+    # TOTAL budget for the corpus-static dense counts matrix: every
+    # chunk is device-resident for the whole run, so "auto" falls back
+    # to the scatter path when num_docs * V * 4 bytes exceeds this.
+    sstats_dense_total_budget_mb: int = 4096
 
     # ----- kernels -----
     # "never" | "always": route dense-batch E-steps through the fused
@@ -157,6 +172,8 @@ class LDAConfig:
             )
         if self.use_pallas not in ("never", "always"):
             raise ValueError(f"unknown use_pallas: {self.use_pallas}")
+        if self.sstats_mode not in ("auto", "scatter"):
+            raise ValueError(f"unknown sstats_mode: {self.sstats_mode}")
         if self.shard_vocab and self.shard_topics:
             raise ValueError("shard_vocab and shard_topics are exclusive")
         return self

@@ -104,6 +104,31 @@ def test_topic_sharded_lambda_matches(corpus, lam_init):
     )
 
 
+def test_hybrid_sstats_data_parallel_matches():
+    """Ragged layout (V > dense_vocab_threshold) with the hybrid
+    dense-sstats path under a doc-sharded mesh: the dense chunks, the
+    per-document gamma recombination (device segment_sum) and the psum'd
+    sstats must together match the unsharded hybrid run."""
+    big, _, _ = synthetic_corpus(
+        num_docs=64, num_topics=4, num_types=5000, mean_doc_length=25,
+        seed=13,
+    )
+    rng = np.random.default_rng(2)
+    lam0 = rng.gamma(100.0, 0.01, size=(4, 5000))
+    ref, ref_elbos = _run_vb(big, lam0, sstats_mode="auto")
+    assert ref._sstats_plan is not None
+    mesh = make_mesh(shape=(8, 1))
+    sh, sh_elbos = _run_vb(big, lam0, mesh=mesh, sstats_mode="auto")
+    assert sh._sstats_plan is not None
+    for a, b in zip(ref_elbos, sh_elbos):
+        assert abs(a - b) / abs(a) < 1e-4, (ref_elbos, sh_elbos)
+    np.testing.assert_allclose(
+        ref.topic_word_distribution(),
+        sh.topic_word_distribution(),
+        atol=3e-3,
+    )
+
+
 def test_replica_consistency_check(corpus, lam_init):
     """The cross-device determinism debug mode: replicated lambda must be
     bit-identical on every device after the psum'd M-step."""
