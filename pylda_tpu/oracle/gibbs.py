@@ -147,6 +147,48 @@ class OracleGibbs:
         num = self.n_dk + self.alpha[None, :]
         return num / num.sum(axis=1, keepdims=True)
 
+    def inference(
+        self,
+        test_corpus: Corpus,
+        burn_in: int = 5,
+        num_samples: int = 10,
+        seed: int = 1,
+    ) -> tuple:
+        """Held-out scoring with the same convention as
+        models/gibbs.py::MonteCarlo.inference (documented there; the
+        reference recipe is [UNVERIFIED]): per test document, within-doc
+        Gibbs against the FROZEN phi_hat point estimate, gamma = alpha +
+        mean n_dk over kept sweeps, token score sum_t log(theta_hat @
+        phi_hat[:, w_t]).  Returns (log_likelihood, gamma [D, K])."""
+        phi = self.phi_hat()
+        rng = np.random.default_rng(seed)
+        K = self.K
+        gamma = np.tile(self.alpha[None, :], (test_corpus.num_docs, 1))
+        ll = 0.0
+        for d, doc in enumerate(test_corpus.docs):
+            if doc.size == 0:
+                continue
+            z = rng.integers(0, K, size=doc.size)
+            ndk = np.bincount(z, minlength=K).astype(np.float64)
+            acc = np.zeros(K, dtype=np.float64)
+            kept = 0
+            for s in range(burn_in + num_samples):
+                for n in range(doc.size):
+                    w = int(doc[n])
+                    ndk[z[n]] -= 1.0
+                    p = (ndk + self.alpha) * phi[:, w]
+                    p /= p.sum()
+                    z[n] = int(rng.choice(K, p=p))
+                    ndk[z[n]] += 1.0
+                if s >= burn_in:
+                    acc += ndk
+                    kept += 1
+            g = self.alpha + acc / max(kept, 1)
+            gamma[d] = g
+            theta = g / g.sum()
+            ll += float(np.log(theta @ phi[:, doc]).sum())
+        return ll, gamma
+
     def check_invariants(self) -> None:
         """Count-table conservation (SURVEY.md section 4 item 2)."""
         doc_lens = np.array([d.size for d in self.corpus.docs])

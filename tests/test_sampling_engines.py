@@ -108,6 +108,40 @@ def test_gibbs_likelihood_formula_matches_oracle(corpus):
     assert abs(got - expected) / abs(expected) < 1e-5, (got, expected)
 
 
+def test_gibbs_heldout_inference_matches_oracle(corpus):
+    """The engine's held-out convention (within-doc Gibbs against frozen
+    phi_hat, gamma = alpha + mean kept n_dk, tokens scored with the
+    point-estimate predictive) cross-checked against the independent
+    float64 oracle implementation with IDENTICAL frozen counts.  The two
+    samplers draw different chains, so agreement is statistical: per-word
+    log-likelihood within 1%."""
+    test, _, _ = synthetic_corpus(
+        num_docs=24, num_topics=5, num_types=150, mean_doc_length=40,
+        seed=21,
+    )
+    eng = MonteCarlo(
+        _cfg("gibbs", burn_in_sweeps=10, number_of_samples=30)
+    )
+    eng.initialize(corpus)
+    for _ in range(5):
+        eng.learning()
+    ll_eng, gamma_eng = eng.inference(test)
+
+    ora = OracleGibbs(corpus, num_topics=5, alpha=0.2, beta=0.05, seed=0)
+    ora.n_kv = np.asarray(eng._n_kv, dtype=np.int64)
+    ora.n_k = ora.n_kv.sum(axis=1)
+    ll_ora, gamma_ora = ora.inference(
+        test, burn_in=10, num_samples=30, seed=1
+    )
+    n_tok = test.num_tokens
+    assert abs(ll_eng - ll_ora) / abs(ll_ora) < 0.01, (
+        ll_eng / n_tok, ll_ora / n_tok)
+    # Per-document topic mixes agree in aggregate (MC noise per doc).
+    th_e = gamma_eng / gamma_eng.sum(axis=1, keepdims=True)
+    th_o = gamma_ora / gamma_ora.sum(axis=1, keepdims=True)
+    assert np.abs(th_e - th_o).mean() < 0.05
+
+
 def test_gibbs_slice_sampler(corpus):
     eng = MonteCarlo(_cfg("gibbs"))
     eng.initialize(corpus)
