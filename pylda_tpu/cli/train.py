@@ -65,6 +65,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kappa", type=float, default=0.7)
     # -- layout / parallelism --
     p.add_argument("--dense_vocab_threshold", type=int, default=4096)
+    p.add_argument("--sstats_mode", default="auto",
+                   choices=["auto", "scatter"],
+                   help="ragged-layout sufficient statistics: 'auto' uses "
+                        "the scatter-free dense-matmul form when the "
+                        "corpus-static dense counts fit the HBM budget "
+                        "(~1.4x faster end-to-end on v5e); 'scatter' "
+                        "forces the in-bucket segment-sum")
+    p.add_argument("--sstats_dense_total_budget_mb", type=int, default=4096,
+                   help="HBM budget for the dense sstats counts matrix; "
+                        "above it 'auto' falls back to scatter")
     p.add_argument("--mesh", default=None,
                    help="data,model mesh shape, e.g. 8,1 or 4,2")
     p.add_argument("--shard_vocab", action="store_true")
@@ -134,6 +144,8 @@ def config_from_args(args) -> LDAConfig:
         tau0=args.tau0,
         kappa=args.kappa,
         dense_vocab_threshold=args.dense_vocab_threshold,
+        sstats_mode=args.sstats_mode,
+        sstats_dense_total_budget_mb=args.sstats_dense_total_budget_mb,
         mesh_shape=(
             tuple(int(x) for x in args.mesh.split(",")) if args.mesh else None
         ),

@@ -220,22 +220,28 @@ def plan_pallas_estep(
     min_tile: int = 8,
 ) -> Optional[Tuple[int, str]]:
     """Pick (tile_d, storage_dtype) for the kernel, or None if even the
-    bf16 working set cannot fit VMEM.  Tries the requested dtype first;
-    falls back to bf16 storage when f32 does not fit (counts < 257 are
-    exact in bf16 and all accumulation stays f32)."""
+    bf16 working set cannot fit VMEM.
+
+    Tile size dominates dtype: a large bf16 tile beats a small f32 tile
+    because small row tiles starve the MXU (measured on v5e at D=4096,
+    K=100, V=10k: tile128-bf16 11.7 ms vs tile32-f32 20.5 ms for the
+    full 50-sweep E-step — scripts/bench_pallas_estep.py).  So iterate
+    tiles outermost, preferring the requested dtype at equal tile size;
+    bf16 storage is exact for counts < 257 and all matmuls accumulate
+    in f32."""
     K = _round_up(num_topics, 128)
     V = _round_up(num_types, _TILE_V if num_types > _TILE_V else 128)
     order = ["float32", "bfloat16"]
     if compute_dtype == "bfloat16":
         order = ["bfloat16"]
-    for dtype in order:
-        itemsize = 2 if dtype == "bfloat16" else 4
-        for tile in (512, 256, 128, 64, 32, 16, 8):
-            if tile < min_tile:
-                break
-            if tile <= _round_up(num_docs, 8) and (
-                _vmem_need(tile, K, V, itemsize) < _VMEM_BUDGET
-            ):
+    for tile in (512, 256, 128, 64, 32, 16, 8):
+        if tile < min_tile:
+            break
+        if tile > _round_up(num_docs, 8):
+            continue
+        for dtype in order:
+            itemsize = 2 if dtype == "bfloat16" else 4
+            if _vmem_need(tile, K, V, itemsize) < _VMEM_BUDGET:
                 return tile, dtype
     return None
 
