@@ -99,6 +99,12 @@ for _cls in (DenseBatch, RaggedBucket, SequenceBucket):
 from pylda_tpu.utils import round_up as _round_up
 
 
+class GeometryOverflow(ValueError):
+    """A fixed bucket geometry cannot hold this document subset (the
+    largest bucket's capacity overflowed).  Callers fall back to
+    per-batch shapes for the offending minibatch."""
+
+
 class Corpus:
     """A tokenised corpus: per-document token-id sequences + vocabulary.
 
@@ -199,18 +205,47 @@ class Corpus:
             doc_ids[row] = d
         return DenseBatch(counts=counts, mask=mask, doc_ids=doc_ids)
 
+    def ragged_row_histogram(self, bucket_sizes: Sequence[int]) -> dict:
+        """size -> number of ragged rows the WHOLE corpus contributes to
+        that bucket (oversized docs count one row per chunk).  Input to
+        the SVI fixed-geometry capacity planner (models/layouts.py)."""
+        sizes = sorted(bucket_sizes)
+        mx = sizes[-1]
+        hist = {s: 0 for s in sizes}
+        for ids, _ in self._uniques:
+            n = ids.size
+            if n <= mx:
+                hist[next(b for b in sizes if n <= b)] += 1
+            else:
+                hist[mx] += -(-n // mx)
+        return hist
+
     def to_ragged_buckets(
         self,
         bucket_sizes: Sequence[int] = (64, 128, 256, 512, 1024, 2048),
         doc_pad_multiple: int = 64,
         doc_indices: Optional[Sequence[int]] = None,
+        bucket_capacities: Optional[dict] = None,
     ) -> List[RaggedBucket]:
-        """Length-bucketed padded (ids, counts); bucket key = unique types."""
+        """Length-bucketed padded (ids, counts); bucket key = unique types.
+
+        ``bucket_capacities`` (size -> row capacity, pad-multiple
+        capacities) requests a FIXED output geometry: the capacity keys
+        replace ``bucket_sizes`` for assignment AND chunking, every
+        capacity bucket is emitted (even empty) with exactly that many
+        rows, and rows overflowing a bucket are promoted to the next
+        larger one (always shape-valid — more token slots than the row
+        needs).  This makes random minibatches share ONE compiled shape
+        set (the SVI epoch-fusion contract; models/svi.py).  Raises
+        ``GeometryOverflow`` when the largest bucket cannot absorb the
+        overflow — callers fall back to per-batch shapes."""
         idx = (
             range(self.num_docs)
             if doc_indices is None
             else [int(i) for i in doc_indices]
         )
+        if bucket_capacities is not None:
+            bucket_sizes = sorted(bucket_capacities)
         buckets: dict = {}
         max_bucket = max(bucket_sizes)
         for d in idx:
@@ -220,7 +255,7 @@ class Corpus:
             # the long-context analog, SURVEY.md section 5).
             size = next((b for b in bucket_sizes if n <= b), max_bucket)
             buckets.setdefault(size, []).append(d)
-        out: List[RaggedBucket] = []
+        row_lists: dict = {}
         for size in sorted(buckets):
             members = buckets[size]
             rows: List[Tuple[int, np.ndarray, np.ndarray]] = []
@@ -234,7 +269,34 @@ class Corpus:
                     # (documented approximation for pathological docs).
                     for s in range(0, ids.size, size):
                         rows.append((d, ids[s : s + size], cnts[s : s + size]))
-            D = _round_up(len(rows), doc_pad_multiple)
+            row_lists[size] = rows
+        if bucket_capacities is not None:
+            sizes_asc = sorted(bucket_capacities)
+            for i, size in enumerate(sizes_asc):
+                rows = row_lists.setdefault(size, [])
+                cap = int(bucket_capacities[size])
+                if len(rows) > cap:
+                    if i + 1 >= len(sizes_asc):
+                        raise GeometryOverflow(
+                            f"bucket {size}: {len(rows)} rows > capacity "
+                            f"{cap} and no larger bucket to promote into"
+                        )
+                    promote = rows[cap:]
+                    del rows[cap:]
+                    row_lists.setdefault(sizes_asc[i + 1], [])[:0] = promote
+            # Emit the FULL fixed geometry (assignment used the capacity
+            # keys as bucket_sizes, so no native size can fall outside).
+            row_lists = {s: row_lists.get(s, []) for s in sizes_asc}
+        out: List[RaggedBucket] = []
+        for size in sorted(row_lists):
+            rows = row_lists[size]
+            if bucket_capacities is None and not rows:
+                continue
+            D = (
+                int(bucket_capacities[size])
+                if bucket_capacities is not None
+                else _round_up(len(rows), doc_pad_multiple)
+            )
             ids_a = np.zeros((D, size), dtype=np.int32)
             cnt_a = np.zeros((D, size), dtype=np.float32)
             mask = np.zeros((D,), dtype=np.float32)

@@ -67,6 +67,15 @@ class StreamingCorpus:
         from pylda_tpu.native import parse_lines
 
         n_tokens = 0
+        uniq_counts: List[int] = []
+
+        def _consume(lines: List[str]) -> int:
+            tot = 0
+            for d in parse_lines(lines, vocab):
+                tot += d.size
+                uniq_counts.append(np.unique(d).size if d.size else 0)
+            return tot
+
         with open(self.path, "rb") as f:
             f.seek(self._offsets[self._lo])
             chunk: List[str] = []
@@ -77,13 +86,15 @@ class StreamingCorpus:
                     ).decode("utf-8", errors="replace")
                 )
                 if len(chunk) >= 4096:
-                    n_tokens += sum(
-                        d.size for d in parse_lines(chunk, vocab)
-                    )
+                    n_tokens += _consume(chunk)
                     chunk = []
             if chunk:
-                n_tokens += sum(d.size for d in parse_lines(chunk, vocab))
+                n_tokens += _consume(chunk)
         self._local_tokens = n_tokens
+        # Per-doc unique-type counts (4 bytes/doc — still O(1) per doc,
+        # within the streaming RAM contract): feeds the SVI fixed-bucket
+        # capacity planner without another corpus pass.
+        self._unique_counts = np.asarray(uniq_counts, dtype=np.int32)
 
     # -- stats ----------------------------------------------------------------
 
@@ -153,11 +164,28 @@ class StreamingCorpus:
         sub = self._parse(idx)
         return self._remap(sub.to_dense(pad_docs_to=pad_docs_to), idx)
 
+    def ragged_row_histogram(self, bucket_sizes: Sequence[int]) -> dict:
+        """Same contract as ``Corpus.ragged_row_histogram`` but from the
+        per-doc unique counts collected during the indexing pass — no
+        corpus re-read."""
+        sizes = sorted(bucket_sizes)
+        mx = sizes[-1]
+        hist = {s: 0 for s in sizes}
+        edges = np.asarray(sizes)
+        small = self._unique_counts[self._unique_counts <= mx]
+        which = edges[np.searchsorted(edges, small)]
+        for s, c in zip(*np.unique(which, return_counts=True)):
+            hist[int(s)] += int(c)
+        big = self._unique_counts[self._unique_counts > mx]
+        hist[mx] += int((-(-big // mx)).sum())
+        return hist
+
     def to_ragged_buckets(
         self,
         bucket_sizes: Sequence[int] = (64, 128, 256, 512, 1024, 2048),
         doc_pad_multiple: int = 64,
         doc_indices: Optional[Sequence[int]] = None,
+        bucket_capacities: Optional[dict] = None,
     ) -> List[RaggedBucket]:
         idx = (
             np.arange(self.num_docs)
@@ -170,6 +198,7 @@ class StreamingCorpus:
             for b in sub.to_ragged_buckets(
                 bucket_sizes=bucket_sizes,
                 doc_pad_multiple=doc_pad_multiple,
+                bucket_capacities=bucket_capacities,
             )
         ]
 

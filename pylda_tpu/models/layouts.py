@@ -38,8 +38,16 @@ def build_vb_batches(
     doc_indices: Optional[Sequence[int]] = None,
     pad_docs_to: Optional[int] = None,
     memory_budget_mb: int = 512,
+    bucket_capacities: Optional[dict] = None,
 ) -> List[VBBatch]:
-    """Materialise the corpus (or a subset) as E-step ready batches."""
+    """Materialise the corpus (or a subset) as E-step ready batches.
+
+    ``bucket_capacities`` (ragged layout only) requests the fixed bucket
+    geometry of ``Corpus.to_ragged_buckets`` — every capacity bucket is
+    emitted at exactly its capacity, so different document subsets yield
+    IDENTICAL batch shapes (and the deterministic memory chunking below
+    then yields identical chunk shapes too).  May raise
+    ``corpus.GeometryOverflow``."""
     V = corpus.num_types
     K = config.number_of_topics
     pad = config.doc_pad_multiple
@@ -67,6 +75,7 @@ def build_vb_batches(
         bucket_sizes=config.bucket_sizes,
         doc_pad_multiple=pad,
         doc_indices=doc_indices,
+        bucket_capacities=bucket_capacities,
     )
     for b in buckets:
         T = b.ids.shape[1]
@@ -91,6 +100,45 @@ def build_vb_batches(
             )
             s = e
     return out
+
+
+def plan_svi_ragged_geometry(
+    corpus: Corpus, config: LDAConfig, batch_size: int
+) -> Optional[dict]:
+    """Capacity plan (bucket size -> fixed row capacity) for shape-stable
+    SVI minibatches on the ragged layout.
+
+    Random minibatches natively produce different bucket shape sets, and
+    on TPU every new shape set recompiles the minibatch step — measured
+    ~166 s/epoch at K=1000, V=100k vs sub-second once shapes are fixed.
+    Capacity per bucket covers the hypergeometric row-count fluctuation
+    of a batch_size draw at +4 sigma (overflow probability ~3e-5 per
+    bucket per batch; overflow falls back to per-batch shapes via
+    ``GeometryOverflow``).  Buckets whose EXPECTED minibatch rows are
+    below half a pad-multiple are dropped from the geometry — their rare
+    documents promote into the next larger bucket rather than dragging a
+    mostly-padding bucket through every minibatch.  The largest native
+    size is always kept (documents must have somewhere to go)."""
+    sizes = sorted(config.bucket_sizes)
+    pad = config.doc_pad_multiple
+    D = corpus.num_docs
+    if D == 0 or batch_size <= 0:
+        return None
+    f = min(1.0, batch_size / D)
+    hist = corpus.ragged_row_histogram(sizes)
+    top = max((s for s in sizes if hist[s] > 0), default=sizes[0])
+    caps = {}
+    carry = 0.0  # expected rows of dropped buckets promote upward
+    for s in sizes:
+        if s > top:
+            break
+        e = hist[s] * f + carry
+        if s < top and e < pad / 2:
+            carry = e
+            continue
+        carry = 0.0
+        caps[s] = _round_up(int(np.ceil(e + 4.0 * np.sqrt(max(e, 1.0)))), pad)
+    return caps or None
 
 
 def assemble_gamma(

@@ -62,6 +62,21 @@ class StochasticVariationalBayes(VariationalBayes):
         # dense chunks would have to be stacked per-epoch for the fused
         # scan, multiplying the dense memory by the minibatch count.
         self._sstats_plan = None
+        # Fixed bucket geometry for ragged minibatches: random subsets
+        # natively produce different bucket shape sets, and every new
+        # shape set recompiles (~40 s/shape at K=1000, V=100k through
+        # this TPU tunnel — 166 s/epoch measured).  A capacity plan from
+        # corpus statistics makes every minibatch emit IDENTICAL shapes,
+        # so the whole epoch fuses into one lax.scan compiled once ever.
+        self._svi_geometry = None
+        if corpus.num_types > self._config.dense_vocab_threshold:
+            plan_fn = getattr(corpus, "ragged_row_histogram", None)
+            if plan_fn is not None and not getattr(
+                corpus, "process_local", False
+            ):
+                self._svi_geometry = layouts.plan_svi_ragged_geometry(
+                    corpus, self._config, self._config.batch_size
+                )
         self._t = getattr(self, "_t", 0)  # global minibatch counter
         self._jit_minibatch = jax.jit(self._minibatch_step)
         self._jit_epoch_scan = jax.jit(self._epoch_scan)
@@ -146,7 +161,7 @@ class StochasticVariationalBayes(VariationalBayes):
                     corpus, cfg, doc_indices=idx, pad_docs_to=cfg.batch_size
                 )
                 if corpus.num_types <= cfg.dense_vocab_threshold
-                else layouts.build_vb_batches(corpus, cfg, doc_indices=idx)
+                else self._ragged_minibatch(corpus, cfg, idx)
             )
             batch_lists.append(bl)
             scales.append(D / max(1, len(idx)))
@@ -154,6 +169,22 @@ class StochasticVariationalBayes(VariationalBayes):
             self._t += 1
         doc_ids_lists = [[b.doc_ids for b in bl] for bl in batch_lists]
         return batch_lists, doc_ids_lists, rhos, scales, False
+
+    def _ragged_minibatch(self, corpus, cfg, idx):
+        """Ragged minibatch layout: the fixed capacity geometry when one
+        is planned (shape-stable epochs; one compile ever), per-batch
+        shapes as the rare-overflow / no-plan fallback."""
+        if self._svi_geometry is not None:
+            from pylda_tpu.corpus.corpus import GeometryOverflow
+
+            try:
+                return layouts.build_vb_batches(
+                    corpus, cfg, doc_indices=idx,
+                    bucket_capacities=self._svi_geometry,
+                )
+            except GeometryOverflow:
+                pass  # ~3e-5/bucket/batch: this batch recompiles, alone
+        return layouts.build_vb_batches(corpus, cfg, doc_indices=idx)
 
     def _process_local_epoch(self, epoch_seed: int):
         """Minibatches over a process-local corpus: every host

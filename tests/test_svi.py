@@ -79,6 +79,60 @@ def _write_text_corpus(corpus, path):
             f.write(" ".join(f"w{t}" for t in d) + "\n")
 
 
+def test_svi_fixed_geometry_shape_stable_and_equivalent(corpus):
+    """Ragged SVI minibatches use a corpus-derived fixed bucket geometry
+    (models/layouts.plan_svi_ragged_geometry) so every random minibatch
+    compiles ONCE: shapes must be identical across epochs/subsets, and
+    the math must match per-batch shapes exactly (a document's E-step is
+    invariant to which bucket row holds it)."""
+    from pylda_tpu.models import layouts
+
+    cfg = _cfg("svi", dense_vocab_threshold=0, bucket_sizes=(32, 64, 128))
+    caps = layouts.plan_svi_ragged_geometry(corpus, cfg, cfg.batch_size)
+    assert caps, caps
+    rng = np.random.default_rng(0)
+    shapes = set()
+    for _ in range(6):
+        idx = rng.choice(corpus.num_docs, size=cfg.batch_size, replace=False)
+        bl = corpus.to_ragged_buckets(
+            bucket_sizes=cfg.bucket_sizes, doc_pad_multiple=8,
+            doc_indices=idx, bucket_capacities=caps,
+        )
+        shapes.add(tuple(b.ids.shape for b in bl))
+        got = sum(float(b.cnts.sum()) for b in bl)
+        assert got == sum(corpus.docs[i].size for i in idx)
+    assert len(shapes) == 1, shapes
+
+    eng = StochasticVariationalBayes(cfg)
+    eng.initialize(corpus)
+    assert eng._svi_geometry
+    ests = [eng.learning() for _ in range(2)]
+
+    eng2 = StochasticVariationalBayes(_cfg(
+        "svi", dense_vocab_threshold=0, bucket_sizes=(32, 64, 128)
+    ))
+    eng2.initialize(corpus)
+    eng2._svi_geometry = None  # per-batch shapes (the fallback path)
+    ests2 = [eng2.learning() for _ in range(2)]
+    np.testing.assert_allclose(ests, ests2, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(eng.state.lam), np.asarray(eng2.state.lam),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_svi_geometry_overflow_falls_back(corpus):
+    """A pathological minibatch that overflows the planned capacities
+    must still train (per-batch shapes for that batch), not crash."""
+    cfg = _cfg("svi", dense_vocab_threshold=0, bucket_sizes=(32, 64, 128))
+    eng = StochasticVariationalBayes(cfg)
+    eng.initialize(corpus)
+    # Starve the plan: capacity 8 rows everywhere guarantees overflow.
+    eng._svi_geometry = {s: 8 for s in (32, 64, 128)}
+    est = eng.learning()
+    assert np.isfinite(est)
+
+
 def test_streaming_svi_matches_in_memory(corpus, tmp_path):
     """Disk-backed minibatch source (SURVEY.md section 7.2 step 1):
     training from StreamingCorpus must match the in-memory Corpus run
