@@ -61,20 +61,26 @@ class StreamingCorpus:
             self._hi = min(self._lo + per, total)
             self.process_local = True
             self.global_doc_offset = self._lo
-        # Pass 2: exact post-OOV token count of THIS host's block
-        # (chunked parse keeps RAM bounded; matches Corpus.num_tokens
-        # semantics — local under process sharding).
-        from pylda_tpu.native import parse_lines
+        # Pass 2: exact post-OOV token count + per-doc unique-type count
+        # of THIS host's block (chunked parse keeps RAM bounded; token
+        # semantics match Corpus.num_tokens — local under process
+        # sharding).  The native tokenizer's flat output is reduced with
+        # vectorised NumPy (pylda_tpu.native.parse_stats) and the vocab
+        # hash table is built ONCE and reused across chunks.
+        from pylda_tpu.native import (
+            HAVE_NATIVE,
+            NativeVocabTable,
+            parse_stats,
+        )
 
-        n_tokens = 0
-        uniq_counts: List[int] = []
+        table = NativeVocabTable(vocab.types) if HAVE_NATIVE else None
+        tok_chunks: List[np.ndarray] = []
+        uniq_chunks: List[np.ndarray] = []
 
-        def _consume(lines: List[str]) -> int:
-            tot = 0
-            for d in parse_lines(lines, vocab):
-                tot += d.size
-                uniq_counts.append(np.unique(d).size if d.size else 0)
-            return tot
+        def _consume(lines: List[str]) -> None:
+            toks, uniqs = parse_stats(lines, vocab, table=table)
+            tok_chunks.append(toks)
+            uniq_chunks.append(uniqs)
 
         with open(self.path, "rb") as f:
             f.seek(self._offsets[self._lo])
@@ -86,15 +92,21 @@ class StreamingCorpus:
                     ).decode("utf-8", errors="replace")
                 )
                 if len(chunk) >= 4096:
-                    n_tokens += _consume(chunk)
+                    _consume(chunk)
                     chunk = []
             if chunk:
-                n_tokens += _consume(chunk)
-        self._local_tokens = n_tokens
-        # Per-doc unique-type counts (4 bytes/doc — still O(1) per doc,
-        # within the streaming RAM contract): feeds the SVI fixed-bucket
-        # capacity planner without another corpus pass.
-        self._unique_counts = np.asarray(uniq_counts, dtype=np.int32)
+                _consume(chunk)
+        self._local_tokens = int(
+            sum(int(t.sum()) for t in tok_chunks)
+        )
+        # Per-doc unique counts (4 bytes/doc — within the streaming RAM
+        # contract): feeds the SVI fixed-bucket capacity planner without
+        # another corpus pass.
+        self._unique_counts = (
+            np.concatenate(uniq_chunks)
+            if uniq_chunks
+            else np.zeros((0,), np.int32)
+        )
 
     # -- stats ----------------------------------------------------------------
 

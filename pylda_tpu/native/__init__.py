@@ -51,6 +51,56 @@ def _python_parse(lines: Iterable[str], vocab) -> List[np.ndarray]:
     return docs
 
 
+def _stats_of_docs(docs: List[np.ndarray]):
+    return (
+        np.asarray([d.size for d in docs], np.int64),
+        np.asarray(
+            [np.unique(d).size if d.size else 0 for d in docs], np.int32
+        ),
+    )
+
+
+def parse_stats(
+    lines: Iterable[str],
+    vocab,
+    table: Optional[NativeVocabTable] = None,
+):
+    """(token_counts int64 [n_lines], unique_counts int32 [n_lines])
+    without materialising per-document arrays.
+
+    The streaming indexer's inner loop (corpus/streaming.py): on the
+    native path the flat (ids, offsets) parse output is reduced with
+    vectorised NumPy — unique types per document counted through the
+    composite sort key doc*V + id — so no per-document Python executes."""
+    if not HAVE_NATIVE:
+        return _stats_of_docs(_python_parse(lines, vocab))
+    if isinstance(lines, str):
+        line_list = lines.splitlines()
+    else:
+        line_list = [l.rstrip("\r\n") for l in lines]
+    text = "\n".join(line_list)
+    if not text.isascii():
+        return _stats_of_docs(_python_parse(line_list, vocab))
+    if table is None:
+        table = NativeVocabTable(vocab.types)
+    ids_b, offs_b = _fastcorpus.parse(table._capsule, text.encode("ascii"))
+    ids = np.frombuffer(ids_b, dtype=np.int32)
+    ends = np.frombuffer(offs_b, dtype=np.int64)
+    n = len(line_list)
+    if len(ends) < n:  # "\n".join drops trailing empty lines; restore
+        last = ends[-1] if len(ends) else 0
+        ends = np.concatenate([ends, np.full(n - len(ends), last, np.int64)])
+    starts = np.concatenate([np.zeros(1, np.int64), ends[:-1]])
+    tok_counts = ends - starts
+    V = len(vocab)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), tok_counts)
+    uniq_keys = np.unique(doc_of * np.int64(V) + ids.astype(np.int64))
+    uniq_counts = np.bincount(
+        uniq_keys // np.int64(V), minlength=n
+    ).astype(np.int32)
+    return tok_counts, uniq_counts
+
+
 def parse_lines(
     lines: Iterable[str],
     vocab,

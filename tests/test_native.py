@@ -103,3 +103,35 @@ def test_very_long_token_parity():
     want = _python_parse(lines, vocab)
     np.testing.assert_array_equal(got[0], want[0])
     assert got[0].size == 3
+
+
+def test_parse_stats_parity(vocab):
+    """parse_stats (vectorised native reduction) must match the
+    per-document Python statistics on OOV, empty, and repeat cases."""
+    from pylda_tpu.native import _stats_of_docs, parse_stats
+
+    lines = [
+        "Apple banana APPLE unknown cherry",
+        "",
+        "date date\tbanana  cherry",
+        "zzz qqq",
+        "apple apple apple",
+        "",
+    ]
+    toks, uniqs = parse_stats(lines, vocab)
+    w_toks, w_uniqs = _stats_of_docs(_python_parse(lines, vocab))
+    np.testing.assert_array_equal(toks, w_toks)
+    np.testing.assert_array_equal(uniqs, w_uniqs)
+
+
+@needs_native
+def test_parse_stats_table_reuse(vocab):
+    from pylda_tpu.native import parse_stats
+
+    table = NativeVocabTable(vocab.types)
+    t1, u1 = parse_stats(["apple cherry cherry"], vocab, table=table)
+    t2, u2 = parse_stats(["banana"], vocab, table=table)
+    np.testing.assert_array_equal(t1, [3])
+    np.testing.assert_array_equal(u1, [2])
+    np.testing.assert_array_equal(t2, [1])
+    np.testing.assert_array_equal(u2, [1])
