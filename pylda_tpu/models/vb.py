@@ -294,13 +294,7 @@ class VariationalBayes(Inferencer):
                 sub, (b.ids.shape[0], alpha.shape[0]), lam.dtype,
                 cfg.gamma_init,
             )
-            g, _sweeps = estep_ragged_gamma(
-                b.ids, b.cnts, gamma0, eeb, alpha,
-                inner_iterations=cfg.inner_iterations,
-                convergence_threshold=cfg.convergence_threshold,
-                eps=cfg.eps,
-                compute_dtype=cfg.compute_dtype,
-            )
+            g = self._ragged_gamma_fixed_point(b, gamma0, eeb, alpha)
             rows.append(g)
             row_ids.append(jnp.asarray(b.doc_ids))
         gamma_docs = _assemble_gamma_device(
@@ -327,6 +321,42 @@ class VariationalBayes(Inferencer):
             dirichlet_expectation(gamma_docs) * docs_mask[:, None]
         ).sum(axis=0)
         return [gamma_docs], sstats, token_score, theta_score, elog_sum
+
+    def _ragged_gamma_fixed_point(self, b, gamma0, eeb, alpha):
+        """Gamma fixed point for one ragged bucket: the fused Pallas
+        kernel (B read from HBM once, all sweeps VMEM-resident) when
+        ``use_pallas="always"`` and the tile plan fits, else the XLA
+        path (``estep_ragged_gamma``)."""
+        cfg = self._config
+        if cfg.use_pallas == "always":
+            from pylda_tpu.ops.pallas_ragged import (
+                pallas_estep_ragged_gamma,
+                plan_pallas_ragged,
+            )
+
+            plan = plan_pallas_ragged(
+                b.ids.shape[0], b.ids.shape[1], cfg.number_of_topics,
+                cfg.compute_dtype,
+            )
+            if plan is not None:
+                g, _sweeps = pallas_estep_ragged_gamma(
+                    b.ids, b.cnts, gamma0, eeb, alpha,
+                    inner_iterations=cfg.inner_iterations,
+                    convergence_threshold=cfg.convergence_threshold,
+                    eps=cfg.eps,
+                    tile_d=plan[0],
+                    storage_dtype=plan[1],
+                    interpret=jax.default_backend() == "cpu",
+                )
+                return g
+        g, _sweeps = estep_ragged_gamma(
+            b.ids, b.cnts, gamma0, eeb, alpha,
+            inner_iterations=cfg.inner_iterations,
+            convergence_threshold=cfg.convergence_threshold,
+            eps=cfg.eps,
+            compute_dtype=cfg.compute_dtype,
+        )
+        return g
 
     def _run_estep(
         self, batches: List[layouts.VBBatch], lam, alpha, key,

@@ -94,3 +94,81 @@ def test_engine_use_pallas_end_to_end():
         assert abs(a - b) < 1e-3 * abs(a), (e_ref, e_pal)
     test = corpus.subset(range(16))
     assert abs(ref.perplexity(test) - pal.perplexity(test)) < 0.5
+
+
+# -- ragged kernel (ops/pallas_ragged.py) -------------------------------------
+
+
+def test_ragged_kernel_matches_xla_path():
+    from pylda_tpu.ops.estep import estep_ragged_gamma
+    from pylda_tpu.ops.pallas_ragged import pallas_estep_ragged_gamma
+
+    rng = np.random.default_rng(7)
+    D, T, K, V = 37, 21, 13, 500  # deliberately unaligned everywhere
+    ids = rng.integers(0, V, (D, T)).astype(np.int32)
+    cnts = rng.integers(1, 5, (D, T)).astype(np.float32)
+    cnts[:, 17:] = 0
+    ids[:, 17:] = 0  # padded token slots
+    cnts[-3:] = 0
+    ids[-3:] = 0  # padded doc rows
+    lam = jnp.asarray(rng.gamma(1.0, 1.0, (K, V)), jnp.float32)
+    eeb = exp_dirichlet_expectation(lam)
+    alpha = jnp.full((K,), 0.1, jnp.float32)
+    g0 = jnp.asarray(rng.gamma(100.0, 0.01, (D, K)), jnp.float32)
+
+    for thresh in (1e-6, 0.0):
+        g_x, _ = estep_ragged_gamma(
+            jnp.asarray(ids), jnp.asarray(cnts), g0, eeb, alpha,
+            inner_iterations=30, convergence_threshold=thresh,
+        )
+        g_p, sweeps = pallas_estep_ragged_gamma(
+            jnp.asarray(ids), jnp.asarray(cnts), g0, eeb, alpha,
+            inner_iterations=30, convergence_threshold=thresh,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_p), np.asarray(g_x), rtol=5e-4, atol=5e-4
+        )
+        assert 1 <= int(sweeps) <= 30
+    # Exact invariant: gamma row sums = sum(alpha) + doc length.
+    doc_len = cnts.sum(axis=1)
+    np.testing.assert_allclose(
+        np.asarray(g_p.sum(axis=1)), 0.1 * K + doc_len, rtol=1e-3
+    )
+
+
+def test_ragged_plan_respects_budget():
+    from pylda_tpu.ops.pallas_ragged import plan_pallas_ragged
+
+    plan = plan_pallas_ragged(4096, 48, 100)
+    assert plan is not None and plan[0] >= 64
+    # A giant per-doc slot count cannot fit any tile.
+    assert plan_pallas_ragged(4096, 200_000, 100) is None
+    # bf16 request is honoured in the storage dtype.
+    plan_bf16 = plan_pallas_ragged(4096, 48, 100, "bfloat16")
+    assert plan_bf16 is not None and plan_bf16[1] == "bfloat16"
+
+
+def test_engine_use_pallas_ragged_end_to_end():
+    """use_pallas=always on a LARGE-vocab corpus routes the hybrid path's
+    gamma fixed point through the ragged kernel; ELBO + perplexity must
+    track the XLA engine."""
+    corpus, _, _ = synthetic_corpus(
+        num_docs=64, num_topics=4, num_types=6000, mean_doc_length=25, seed=2
+    )
+    common = dict(
+        number_of_topics=4, inference_mode="vb", inner_iterations=15,
+        doc_pad_multiple=8, gamma_init="ones", seed=0,
+    )
+    ref_cfg = LDAConfig(**common)
+    pal_cfg = LDAConfig(**common, use_pallas="always")
+    ref, pal = VariationalBayes(ref_cfg), VariationalBayes(pal_cfg)
+    ref.initialize(corpus)
+    pal.initialize(corpus)
+    assert ref._sstats_plan is not None  # hybrid dense-sstats path active
+    e_ref = [ref.learning() for _ in range(5)]
+    e_pal = [pal.learning() for _ in range(5)]
+    for a, b in zip(e_ref, e_pal):
+        assert abs(a - b) < 1e-3 * abs(a), (e_ref, e_pal)
+    test = corpus.subset(range(16))
+    assert abs(ref.perplexity(test) - pal.perplexity(test)) < 0.5
