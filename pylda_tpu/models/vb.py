@@ -345,7 +345,8 @@ class VariationalBayes(Inferencer):
                     convergence_threshold=cfg.convergence_threshold,
                     eps=cfg.eps,
                     tile_d=plan[0],
-                    storage_dtype=plan[1],
+                    tile_t=plan[1],
+                    storage_dtype=plan[2],
                     interpret=jax.default_backend() == "cpu",
                 )
                 return g
@@ -587,18 +588,15 @@ class VariationalBayes(Inferencer):
             sstats, elog_sum = r[1], r[4]
             sweeps_only = jax.jit(
                 lambda bs, lam, alpha, k: [
-                    estep_ragged_gamma(
-                        b.ids, b.cnts,
+                    self._ragged_gamma_fixed_point(
+                        b,
                         _gamma_init(
                             jax.random.fold_in(k, i),
                             (b.ids.shape[0], alpha.shape[0]), lam.dtype,
                             cfg.gamma_init,
                         ),
                         exp_dirichlet_expectation(lam), alpha,
-                        inner_iterations=cfg.inner_iterations,
-                        convergence_threshold=cfg.convergence_threshold,
-                        eps=cfg.eps, compute_dtype=cfg.compute_dtype,
-                    )[0]
+                    )
                     for i, b in enumerate(bs)
                 ]
             )

@@ -49,10 +49,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pylda_tpu.ops.pallas_estep import (
-    _exp_dirichlet_expectation_rows,
-    _VMEM_BUDGET,
-)
+from pylda_tpu.ops.pallas_estep import _exp_dirichlet_expectation_rows
 from pylda_tpu.utils import round_up as _round_up
 
 
@@ -68,24 +65,40 @@ def _ragged_tile_kernel(
     convergence_threshold: float,
     eps: float,
     real_k: int,
+    tile_t: int,
 ):
     alpha = alpha_ref[0, :]
     K = alpha.shape[0]
+    Tp = b_ref.shape[1]
+    n_tc = Tp // tile_t
     kmask = (
         jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) < real_k
     ).astype(jnp.float32)
-    # Loop-invariant loads: B stays in its storage dtype (the f32
-    # upcast streams through the VPU per use), counts relayout to the
-    # 3D [tile_d, Tp, 1] broadcast shape once.
-    B = b_ref[:]
+
+    # Hoisted once per tile and reused by every sweep: the 2D->3D
+    # relayout of the counts (token slots move lanes -> sublanes) costs
+    # real VPU shuffles, and doing it per sweep measured 1.7x slower
+    # than amortising it here (20.8 vs 12.3 ms at D=3328/T=128).  The
+    # price is VMEM: Mosaic lane-pads the trailing unit axis, so this
+    # buffer costs tile_d*Tp*128*4 bytes — charged in _vmem_need.
     cnts3 = cnts_ref[:][:, :, None]
 
     def sweep(gamma):
+        """One fixed-point sweep, chunked over static token-slot tiles
+        so the f32 temporaries stay [tile_d, tile_t, Kp] regardless of
+        the bucket width (same trick as the dense kernel's vocab tiles
+        — the temp footprint, not B, is what limits the doc tile).
+        Everything stays in the 3D lanes=Kp layout: the keepdims sum
+        broadcasts back along lanes for free."""
         exp_etheta = _exp_dirichlet_expectation_rows(gamma, kmask)
-        prod = B.astype(jnp.float32) * exp_etheta[:, None, :]
-        phinorm = prod.sum(axis=-1, keepdims=True) + eps  # [tile_d, Tp, 1]
-        ratio = cnts3 / phinorm
-        acc = (B.astype(jnp.float32) * ratio).sum(axis=1)  # [tile_d, Kp]
+        et3 = exp_etheta[:, None, :]
+        acc = jnp.zeros_like(gamma)
+        for j in range(n_tc):
+            sl = slice(j * tile_t, (j + 1) * tile_t)
+            Bc = b_ref[:, sl, :].astype(jnp.float32)
+            phinorm = (Bc * et3).sum(axis=-1, keepdims=True) + eps
+            ratio = cnts3[:, sl, :] / phinorm  # [tile_d, tile_t, 1]
+            acc = acc + (Bc * ratio).sum(axis=1)
         return alpha[None, :] + exp_etheta * acc
 
     if convergence_threshold > 0.0:
@@ -121,14 +134,23 @@ def _ragged_tile_kernel(
     sweeps_ref[0, 0] = jnp.maximum(sweeps_ref[0, 0], sweeps)
 
 
-def _vmem_need(tile_d: int, Tp: int, Kp: int, itemsize: int) -> int:
+_RAGGED_VMEM_BUDGET = 13 * 1024 * 1024  # Mosaic staging headroom vs 16M
+
+
+def _vmem_need(tile_d: int, Tp: int, Kp: int, itemsize: int,
+               tile_t: int = 0) -> int:
     """Bytes of VMEM: double-buffered B tile (storage dtype) + three
-    f32 [tile_d, Tp, Kp]-sized sweep temporaries (the B upcast, the
-    product, and Mosaic staging) + gamma working set + counts."""
+    f32 [tile_d, tile_t, Kp]-sized sweep temporaries (the B-chunk
+    upcast, the product, and staging) + the hoisted counts-broadcast
+    buffer (trailing unit axis lane-padded to 128 by Mosaic — a
+    [tile_d, Tp, 128] f32 allocation; this is what blew the 16 MB
+    scoped-vmem limit on the first in-engine compile) + gamma working
+    set."""
+    tile_t = tile_t or Tp
     return (
         2 * tile_d * Tp * Kp * itemsize  # B tile, pipelined x2
-        + 3 * tile_d * Tp * Kp * 4  # f32 sweep temporaries
-        + 2 * tile_d * Tp * 4  # counts tile + ratio
+        + 3 * tile_d * tile_t * Kp * 4  # f32 sweep temporaries
+        + tile_d * Tp * 128 * 4  # cnts3, lane-padded unit axis
         + 8 * tile_d * Kp * 4  # gamma/expEtheta/acc + buffers
     )
 
@@ -138,24 +160,36 @@ def plan_pallas_ragged(
     num_slots: int,
     num_topics: int,
     compute_dtype: str = "float32",
-) -> Optional[Tuple[int, str]]:
-    """Pick (tile_d, storage_dtype) or None when even the smallest tile
-    cannot fit VMEM.  Larger doc tiles amortise grid overhead; the
-    storage dtype follows the requested compute dtype (bf16 B halves the
-    resident footprint; all arithmetic is f32 either way)."""
+) -> Optional[Tuple[int, int, str]]:
+    """Pick (tile_d, tile_t, storage_dtype) or None when even the
+    smallest tile cannot fit VMEM.
+
+    Preference order is MEASURED, not theoretical
+    (scripts/bench_pallas_ragged.py on v5e, D=3328/T=128/K=100, 50
+    sweeps): full-width token chunks beat doc-tile size — f32
+    (tile_d=32, tile_t=Tp) 12.28 ms vs bf16 (128, 16) 13.8 ms and f32
+    (64, 32) 13.1 ms — because every chunk boundary re-stages the
+    expEtheta broadcast and the accumulator.  So: largest tile_t first,
+    f32 before bf16 (the per-use upcast costs more than the halved
+    residency buys), tile_d as the remaining degree of freedom."""
     Kp = _round_up(num_topics, 128)
     sub = 16 if compute_dtype == "bfloat16" else 8
     Tp = _round_up(num_slots, sub)
     order = ["float32", "bfloat16"]
     if compute_dtype == "bfloat16":
         order = ["bfloat16"]
-    for tile_d in (256, 128, 64, 32, 16, 8):
-        if tile_d > _round_up(num_rows, 8):
+    t_chunks = [Tp] + [t for t in (256, 128, 64, 32, 16) if t < Tp]
+    for tile_t in t_chunks:
+        if Tp % tile_t:
             continue
         for dtype in order:
             itemsize = 2 if dtype == "bfloat16" else 4
-            if _vmem_need(tile_d, Tp, Kp, itemsize) < _VMEM_BUDGET:
-                return tile_d, dtype
+            for tile_d in (128, 64, 32, 16, 8):
+                if tile_d > _round_up(num_rows, 8):
+                    continue
+                if _vmem_need(tile_d, Tp, Kp, itemsize, tile_t) \
+                        < _RAGGED_VMEM_BUDGET:
+                    return tile_d, tile_t, dtype
     return None
 
 
@@ -172,7 +206,7 @@ def pallas_ragged_supported(
     jax.jit,
     static_argnames=(
         "inner_iterations", "convergence_threshold", "eps", "tile_d",
-        "storage_dtype", "interpret",
+        "tile_t", "storage_dtype", "interpret",
     ),
 )
 def pallas_estep_ragged_gamma(
@@ -185,6 +219,7 @@ def pallas_estep_ragged_gamma(
     convergence_threshold: float = 1e-5,
     eps: float = 1e-30,
     tile_d: int = 0,
+    tile_t: int = 0,
     storage_dtype: str = "",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -195,31 +230,41 @@ def pallas_estep_ragged_gamma(
     2 x sweeps times."""
     D, T = ids.shape
     K = exp_elog_beta.shape[0]
-    if tile_d <= 0 or not storage_dtype:
+    if tile_d <= 0 or tile_t <= 0 or not storage_dtype:
         plan = plan_pallas_ragged(D, T, K)
         assert plan is not None, (
             "VMEM working set too large; use estep_ragged_gamma"
         )
         tile_d = tile_d if tile_d > 0 else plan[0]
-        storage_dtype = storage_dtype or plan[1]
+        tile_t = tile_t if tile_t > 0 else plan[1]
+        storage_dtype = storage_dtype or plan[2]
     sdt = jnp.bfloat16 if storage_dtype == "bfloat16" else jnp.float32
     Kp = _round_up(K, 128)
     sub = 16 if storage_dtype == "bfloat16" else 8
     Tp = _round_up(T, sub)
+    if Tp % tile_t:  # manual tile_t that does not divide the padded T
+        Tp = _round_up(Tp, tile_t)
     Dp = _round_up(D, tile_d)
 
-    B = exp_elog_beta.T[ids].astype(sdt)  # [D, T, K] — the XLA gather
-    if Tp != T:
-        B = jnp.pad(B, ((0, 0), (0, Tp - T), (0, 0)))
-        cnts = jnp.pad(cnts, ((0, 0), (0, Tp - T)))
+    # Pad/cast the SMALL [K, V] topic matrix BEFORE the gather, so the
+    # gather emits the kernel-shaped [*, *, Kp] storage-dtype block
+    # directly — padding B afterwards would copy the largest array in
+    # the E-step (observed ~0.25 ms/bucket/iteration at the flagship
+    # shape) once per outer iteration.
+    eeb_p = exp_elog_beta
     if Kp != K:
-        B = jnp.pad(B, ((0, 0), (0, 0), (0, Kp - K)))
+        eeb_p = jnp.pad(eeb_p, ((0, Kp - K), (0, 0)))
         alpha = jnp.pad(alpha, (0, Kp - K), constant_values=1.0)
         gamma0 = jnp.pad(gamma0, ((0, 0), (0, Kp - K)), constant_values=1.0)
+    if Tp != T:
+        # Padded slots gather id 0 with count 0 — inert, as in-bucket pads.
+        ids = jnp.pad(ids, ((0, 0), (0, Tp - T)))
+        cnts = jnp.pad(cnts, ((0, 0), (0, Tp - T)))
     if Dp != D:
-        B = jnp.pad(B, ((0, Dp - D), (0, 0), (0, 0)))
+        ids = jnp.pad(ids, ((0, Dp - D), (0, 0)))
         cnts = jnp.pad(cnts, ((0, Dp - D), (0, 0)))
         gamma0 = jnp.pad(gamma0, ((0, Dp - D), (0, 0)), constant_values=1.0)
+    B = eeb_p.T.astype(sdt)[ids]  # [Dp, Tp, Kp] — the XLA gather
 
     kernel = functools.partial(
         _ragged_tile_kernel,
@@ -227,6 +272,7 @@ def pallas_estep_ragged_gamma(
         convergence_threshold=convergence_threshold,
         eps=eps,
         real_k=K,
+        tile_t=min(tile_t, Tp),
     )
     gamma, sweeps = pl.pallas_call(
         kernel,

@@ -1,14 +1,23 @@
 #!/usr/bin/env python
 """Measure the fused ragged Pallas gamma kernel vs the XLA ragged path
-on the real chip, at the flagship shape and a sweep of bucket widths.
+on the real chip, with SCAN-FUSED timing.
 
-Three rows per shape:
-  xla_sweeps     — ops/estep.estep_ragged_gamma (B re-read 2x/sweep)
-  pallas_sweeps  — ops/pallas_ragged.pallas_estep_ragged_gamma
-                   (B VMEM-resident across all sweeps)
-  e2e            — full engine pass (hybrid dense-sstats), XLA vs Pallas
+Per-call wall timing through the tunneled TPU is unusable: dispatch
+costs ~30 ms and varies by 10x between repeats (the round-1 "fuse
+before trusting any measurement" rule).  Every row here therefore runs
+the op N times inside ONE ``lax.scan`` dispatch with the output gamma
+feeding the next iteration's init (data dependence defeats CSE/DCE),
+and reports total/N.
 
-Run:  python scripts/bench_pallas_ragged.py [--quick]
+Rows:
+  gather_only — B = eeb.T[ids] + reduction (the per-pass floor both
+                paths share)
+  xla         — ops/estep.estep_ragged_gamma
+  pallas/*    — ops/pallas_ragged kernel at each viable (tile, storage)
+  e2e/*       — full engine pass (hybrid dense-sstats), use_pallas
+                never vs always
+
+Run:  python scripts/bench_pallas_ragged.py [--quick] [--sweeps N]
 """
 
 import argparse
@@ -23,25 +32,11 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 
-def best_of(fn, n=5):
-    import jax
-
-    jax.block_until_ready(fn())  # compile + warm
-    best = float("inf")
-    for _ in range(n):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--threshold", type=float, default=0.0,
-                    help="convergence threshold (0 = fixed sweeps, the "
-                    "apples-to-apples compute comparison)")
     ap.add_argument("--sweeps", type=int, default=50)
+    ap.add_argument("--scan_n", type=int, default=20)
     args = ap.parse_args()
 
     import jax
@@ -57,45 +52,106 @@ def main():
     from pylda_tpu.ops.pallas_ragged import (
         pallas_estep_ragged_gamma,
         plan_pallas_ragged,
+        _vmem_need,
     )
+    from pylda_tpu.utils import round_up
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    N = args.scan_n
+
+    def time_scan(step, g0, reps=3):
+        """step(gamma_init) -> gamma; N data-chained runs per dispatch."""
+
+        @jax.jit
+        def run(g):
+            return jax.lax.scan(
+                lambda c, _: (step(c), None), g, None, length=N
+            )[0]
+
+        jax.block_until_ready(run(g0))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(g0))
+            best = min(best, time.perf_counter() - t0)
+        return best / N
+
     rng = np.random.default_rng(0)
     K, V = 100, 10_000
-    shapes = [(4096, 48)] if args.quick else [
-        (4096, 32), (4096, 48), (4096, 64), (1024, 128), (256, 512),
+    # (3328, 128) and (704, 256) are the flagship corpus's actual
+    # bucket shapes (synthetic 20-News-shaped, mean length 120).
+    shapes = [(3328, 128)] if args.quick else [
+        (3328, 128), (704, 256), (4096, 48), (256, 512),
     ]
     lam = jnp.asarray(rng.gamma(100.0, 0.01, (K, V)), jnp.float32)
     eeb = exp_dirichlet_expectation(lam)
     alpha = jnp.full((K,), 1.0 / K, jnp.float32)
 
-    rows = []
     for D, T in shapes:
         ids = jnp.asarray(rng.integers(0, V, (D, T)), jnp.int32)
         cnts = jnp.asarray(rng.integers(1, 4, (D, T)), jnp.float32)
         g0 = jnp.asarray(rng.gamma(100.0, 0.01, (D, K)), jnp.float32)
         kw = dict(
-            inner_iterations=args.sweeps,
-            convergence_threshold=args.threshold,
+            inner_iterations=args.sweeps, convergence_threshold=0.0
         )
-        t_x = best_of(lambda: estep_ragged_gamma(
-            ids, cnts, g0, eeb, alpha, **kw)[0])
-        for sdt in ("float32", "bfloat16"):
-            plan = plan_pallas_ragged(D, T, K, sdt)
-            if plan is None:
-                continue
-            t_p = best_of(lambda: pallas_estep_ragged_gamma(
-                ids, cnts, g0, eeb, alpha, tile_d=plan[0],
-                storage_dtype=plan[1], **kw)[0])
-            rows.append({
-                "D": D, "T": T, "storage": plan[1], "tile_d": plan[0],
-                "xla_ms": round(t_x * 1e3, 3),
-                "pallas_ms": round(t_p * 1e3, 3),
-                "speedup": round(t_x / t_p, 3),
-            })
-            print(json.dumps(rows[-1]), flush=True)
 
-    # End-to-end: flagship engine pass, hybrid path, XLA vs Pallas.
+        # Per-pass floor: the B gather both paths pay, chained via a
+        # gamma-shaped reduction so the scan stays data-dependent.
+        def gather_step(g):
+            B = eeb.T[ids]
+            return g + 0.0 * B.sum(axis=1)
+
+        t_gather = time_scan(gather_step, g0)
+
+        def xla_step(g):
+            return estep_ragged_gamma(ids, cnts, g, eeb, alpha, **kw)[0]
+
+        t_x = time_scan(xla_step, g0)
+        row = {
+            "D": D, "T": T, "sweeps": args.sweeps,
+            "gather_ms": round(t_gather * 1e3, 3),
+            "xla_ms": round(t_x * 1e3, 3),
+        }
+        print(json.dumps(row), flush=True)
+
+        from pylda_tpu.ops.pallas_ragged import _RAGGED_VMEM_BUDGET
+
+        Kp = round_up(K, 128)
+        seen = set()
+        for sdt in ("float32", "bfloat16"):
+            itemsize = 2 if sdt == "bfloat16" else 4
+            Tp = round_up(T, 16 if sdt == "bfloat16" else 8)
+            for tile_d in (256, 128, 64, 32):
+                if tile_d > D:
+                    continue
+                for tile_t in (Tp, 64, 32, 16):
+                    if tile_t > Tp or Tp % tile_t:
+                        continue
+                    if _vmem_need(tile_d, Tp, Kp, itemsize, tile_t) \
+                            >= _RAGGED_VMEM_BUDGET:
+                        continue
+                    key = (sdt, tile_d, tile_t)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+
+                    def pal_step(g, tile_d=tile_d, tile_t=tile_t, sdt=sdt):
+                        return pallas_estep_ragged_gamma(
+                            ids, cnts, g, eeb, alpha, tile_d=tile_d,
+                            tile_t=tile_t, storage_dtype=sdt, **kw)[0]
+
+                    t_p = time_scan(pal_step, g0)
+                    print(json.dumps({
+                        "D": D, "T": T, "storage": sdt, "tile_d": tile_d,
+                        "tile_t": tile_t,
+                        "pallas_ms": round(t_p * 1e3, 3),
+                        "speedup_vs_xla": round(t_x / t_p, 3),
+                    }), flush=True)
+                    break  # largest fitting tile_t per (sdt, tile_d)
+
+    # End-to-end: flagship engine pass, hybrid path, XLA vs Pallas —
+    # learning_many IS the fused measurement (one dispatch for 16
+    # passes).
     from pylda_tpu.corpus.synthetic import synthetic_corpus
     from pylda_tpu.models import VariationalBayes
     from pylda_tpu.utils.config import LDAConfig
@@ -113,9 +169,12 @@ def main():
         eng = VariationalBayes(cfg)
         eng.initialize(corpus)
         eng.learning_many(16)  # compile + converge toward steady state
-        t0 = time.time()
-        eng.learning_many(16)
-        dt = (time.time() - t0) / 16
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            eng.learning_many(16)
+            best = min(best, time.time() - t0)
+        dt = best / 16
         print(json.dumps({
             "e2e_use_pallas": pallas,
             "ms_per_pass": round(dt * 1e3, 2),

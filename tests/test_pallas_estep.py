@@ -146,7 +146,20 @@ def test_ragged_plan_respects_budget():
     assert plan_pallas_ragged(4096, 200_000, 100) is None
     # bf16 request is honoured in the storage dtype.
     plan_bf16 = plan_pallas_ragged(4096, 48, 100, "bfloat16")
-    assert plan_bf16 is not None and plan_bf16[1] == "bfloat16"
+    assert plan_bf16 is not None and plan_bf16[2] == "bfloat16"
+    # Measured preference (scripts/bench_pallas_ragged.py): full-width
+    # token chunks beat doc-tile size — at T=128 the planner keeps
+    # tile_t = Tp and shrinks the doc tile instead.
+    plan_wide = plan_pallas_ragged(3328, 128, 100)
+    assert plan_wide is not None and plan_wide[1] == 128
+    assert plan_wide[2] == "float32"
+    # Very wide buckets fall back to token chunking as the last resort
+    # (bf16 residency + tile_t < Tp), and past that to None (the engine
+    # then uses the XLA path for that bucket).
+    plan_huge = plan_pallas_ragged(64, 1024, 100)
+    assert plan_huge is not None and plan_huge[1] < 1024
+    assert 1024 % plan_huge[1] == 0
+    assert plan_pallas_ragged(32, 2048, 100) is None
 
 
 def test_engine_use_pallas_ragged_end_to_end():
