@@ -99,7 +99,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="bfloat16 = mixed-precision E-step contractions "
                         "(bf16 inputs, f32 accumulation)")
-    p.add_argument("--gamma_init", default="gamma", choices=["gamma", "ones"])
+    p.add_argument("--gamma_init", default="gamma", choices=["gamma", "normal", "ones"])
     p.add_argument("--checkpoint_format", default="npz",
                    choices=["npz", "orbax"],
                    help="model-<N> snapshots as one npz file (default) or "

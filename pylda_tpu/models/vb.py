@@ -50,6 +50,16 @@ from pylda_tpu.utils import round_up as _round_up
 def _gamma_init(key, shape, dtype, mode):
     if mode == "ones":
         return jnp.ones(shape, dtype)
+    if mode == "normal":
+        # CLT surrogate for Gamma(100) * 0.01 (mean 1, std 0.1): one
+        # Box-Muller draw instead of gamma rejection sampling, which
+        # measured ~0.7 ms/pass of the flagship's 12.9 (inner=1 e2e
+        # delta 5.85 vs 4.31 ms).  Clipped well above 0 so digamma
+        # stays in range.
+        return jnp.clip(
+            1.0 + 0.1 * jax.random.normal(key, shape, dtype=dtype),
+            0.2, None,
+        )
     return jax.random.gamma(key, 100.0, shape, dtype=dtype) * 0.01
 
 

@@ -164,7 +164,7 @@ class LDAConfig:
             raise ValueError("kappa must be in (0.5, 1] for SVI convergence")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown compute_dtype: {self.compute_dtype}")
-        if self.gamma_init not in ("gamma", "ones"):
+        if self.gamma_init not in ("gamma", "normal", "ones"):
             raise ValueError(f"unknown gamma_init: {self.gamma_init}")
         if self.checkpoint_format not in ("npz", "orbax"):
             raise ValueError(

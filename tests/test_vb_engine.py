@@ -216,3 +216,29 @@ def test_phase_timings_all_engines(corpus):
             k.startswith(("estep", "gibbs_sweep", "svi_minibatch"))
             for k in times
         ), (mode, times)
+
+
+def test_gamma_init_normal_mode(corpus):
+    """gamma_init="normal" (CLT surrogate for the Gamma(100)*0.01 init)
+    must be strictly positive and train to the same quality."""
+    import jax
+    import jax.numpy as jnp
+
+    from pylda_tpu.models.vb import _gamma_init
+
+    g = _gamma_init(jax.random.PRNGKey(0), (512, 32), jnp.float32, "normal")
+    assert float(g.min()) >= 0.2
+    assert abs(float(g.mean()) - 1.0) < 0.02
+    cfgs = {
+        m: LDAConfig(number_of_topics=10, inference_mode="vb", seed=0,
+                     gamma_init=m)
+        for m in ("gamma", "normal")
+    }
+    perp = {}
+    for m, cfg in cfgs.items():
+        eng = VariationalBayes(cfg)
+        eng.initialize(corpus)
+        eng.learning_many(12)
+        perp[m] = eng.perplexity(corpus.subset(range(32)))
+    # Same basin quality within noise (different random inits).
+    assert abs(perp["gamma"] - perp["normal"]) / perp["gamma"] < 0.05, perp
