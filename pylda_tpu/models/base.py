@@ -293,8 +293,10 @@ class Inferencer:
             os.makedirs(path, exist_ok=True)
             ckptr = ocp.PyTreeCheckpointer()
             ckptr.save(os.path.join(path, "state"), blobs, force=True)
-            with open(os.path.join(path, "meta.json"), "w") as f:
+            meta_tmp = os.path.join(path, f"meta.json.tmp.{os.getpid()}")
+            with open(meta_tmp, "w") as f:
                 json.dump(meta, f)
+            os.replace(meta_tmp, os.path.join(path, "meta.json"))
             return
         blobs["vocab"] = np.asarray(
             self._vocab.types if self._vocab else []
@@ -302,9 +304,20 @@ class Inferencer:
         blobs["meta_json"] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8
         )
-        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        with open(path, "wb") as f:
-            np.savez(f, **blobs)
+        path = os.path.abspath(path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # Atomic publish: a crash/SIGKILL mid-write must never leave a
+        # truncated model-<N> visible (resume picks the LATEST snapshot,
+        # so a torn file would poison recovery — the exact fault
+        # tests/test_fault_tolerance.py injects).
+        tmp = f"{path}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "wb") as f:
+                np.savez(f, **blobs)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     @staticmethod
     def load(
