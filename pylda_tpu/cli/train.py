@@ -65,6 +65,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kappa", type=float, default=0.7)
     # -- layout / parallelism --
     p.add_argument("--dense_vocab_threshold", type=int, default=4096)
+    p.add_argument("--bucket_policy", default="auto",
+                   choices=["auto", "fixed"],
+                   help="ragged-layout bucket geometry: 'auto' plans a "
+                        "corpus-adaptive slot-minimising geometry from "
+                        "the unique-type histogram; 'fixed' (and any "
+                        "explicit --bucket_sizes) uses the configured "
+                        "boundaries")
+    p.add_argument("--bucket_sizes", default=None,
+                   help="comma-separated ragged bucket boundaries "
+                        "(e.g. 64,128,256,2048); implies a fixed "
+                        "geometry")
     p.add_argument("--sstats_mode", default="auto",
                    choices=["auto", "scatter"],
                    help="ragged-layout sufficient statistics: 'auto' uses "
@@ -144,6 +155,12 @@ def config_from_args(args) -> LDAConfig:
         tau0=args.tau0,
         kappa=args.kappa,
         dense_vocab_threshold=args.dense_vocab_threshold,
+        bucket_policy=args.bucket_policy,
+        **(
+            {"bucket_sizes": tuple(
+                int(x) for x in args.bucket_sizes.split(","))}
+            if args.bucket_sizes else {}
+        ),
         sstats_mode=args.sstats_mode,
         sstats_dense_total_budget_mb=args.sstats_dense_total_budget_mb,
         mesh_shape=(

@@ -72,7 +72,7 @@ def build_vb_batches(
         return out
 
     buckets = corpus.to_ragged_buckets(
-        bucket_sizes=config.bucket_sizes,
+        bucket_sizes=effective_bucket_sizes(corpus, config),
         doc_pad_multiple=pad,
         doc_indices=doc_indices,
         bucket_capacities=bucket_capacities,
@@ -102,6 +102,116 @@ def build_vb_batches(
     return out
 
 
+def plan_bucket_sizes(
+    unique_counts: Sequence[int],
+    max_buckets: int = 8,
+    align: int = 16,
+    cap: int = 2048,
+    row_pad: int = 64,
+    bucket_overhead_slots: int = 4096,
+) -> tuple:
+    """Corpus-adaptive ragged bucket geometry: DP that minimises total
+    device slots (rows x bucket width, padding included).
+
+    The sweep phase of the ragged E-step costs ~0.2 ns/slot on a v5e
+    (BENCH_SUITE.md) and padding slots cost exactly as much as real
+    ones, so geometry = slots is the right objective.  The fixed pow2
+    default wastes up to ~50% for docs just above an edge (e.g. 130
+    unique types pays 256); on the flagship bench shape it measures
+    77.6% occupancy vs 91%+ planned (scripts/bucket_geometry_study.py).
+
+    Cost model per bucket: ``round_up(rows, row_pad) * width +
+    bucket_overhead_slots`` — the row padding term naturally suppresses
+    slivers of buckets, and the constant term accounts for per-bucket
+    glue (gather setup, while_loop scaffolding) so the DP does not
+    shatter the corpus into dozens of near-empty buckets.
+
+    - ``align``: candidate widths are multiples of this (sublane-friendly;
+      the token axis sits in sublanes of the [rows, T, K] gather block).
+    - ``cap``: documents with more unique types are chunked to ``cap``-wide
+      rows by ``Corpus.to_ragged_buckets`` (blockwise long-doc handling),
+      so each contributes ceil(u/cap) rows of width cap here.
+    - Returns a sorted tuple of bucket widths (largest == the max needed),
+      usable directly as ``LDAConfig.bucket_sizes``.
+    """
+    rows: dict = {}
+    for u in unique_counts:
+        u = int(u)
+        if u <= 0:
+            continue
+        if u > cap:
+            rows[cap] = rows.get(cap, 0) + -(-u // cap)
+        else:
+            w = _round_up(u, align)
+            rows[w] = rows.get(w, 0) + 1
+    if not rows:
+        return (align,)
+    widths = sorted(rows)  # candidate edges (aligned)
+    n = len(widths)
+    counts = np.array([rows[w] for w in widths], dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(counts)])
+
+    def seg_cost(i: int, j: int) -> int:  # widths[i..j] into one bucket
+        r = int(cum[j + 1] - cum[i])
+        return _round_up(r, row_pad) * widths[j] + bucket_overhead_slots
+
+    INF = float("inf")
+    m = min(max_buckets, n)
+    # f[b][j] = min cost covering widths[0..j-1] with b buckets.
+    f = [[INF] * (n + 1) for _ in range(m + 1)]
+    back = [[-1] * (n + 1) for _ in range(m + 1)]
+    f[0][0] = 0.0
+    for b in range(1, m + 1):
+        for j in range(1, n + 1):
+            for i in range(j):
+                if f[b - 1][i] == INF:
+                    continue
+                c = f[b - 1][i] + seg_cost(i, j - 1)
+                if c < f[b][j]:
+                    f[b][j] = c
+                    back[b][j] = i
+    best_b = min(range(1, m + 1), key=lambda b: f[b][n])
+    edges = []
+    j, b = n, best_b
+    while j > 0:
+        i = back[b][j]
+        edges.append(widths[j - 1])
+        j, b = i, b - 1
+    return tuple(sorted(edges))
+
+
+def effective_bucket_sizes(corpus: Corpus, config: LDAConfig) -> tuple:
+    """The ragged bucket geometry an engine should use for ``corpus``.
+
+    ``bucket_policy="auto"`` plans a slot-minimising geometry from the
+    corpus's unique-type histogram (``plan_bucket_sizes``); anything
+    else — and every case where the histogram is unavailable or the
+    geometry must be negotiated across hosts (process-local corpora:
+    each host sees a different histogram, and bucket KEYS must agree
+    before ``lift_process_local_buckets`` can max capacities) — keeps
+    the configured fixed ``bucket_sizes``.
+    """
+    fixed = tuple(config.bucket_sizes)
+    if getattr(config, "bucket_policy", "fixed") != "auto":
+        return fixed
+    if fixed != LDAConfig.__dataclass_fields__["bucket_sizes"].default:
+        return fixed  # explicit user geometry wins over the planner
+    if getattr(corpus, "process_local", False):
+        return fixed
+    uniques = getattr(corpus, "_uniques", None)
+    if uniques is None:
+        return fixed  # e.g. disk-backed streaming corpus
+    key = (max(fixed), config.doc_pad_multiple)
+    cache = corpus.__dict__.setdefault("_auto_bucket_cache", {})
+    if key not in cache:  # O(D) histogram walk — plan once per corpus
+        cache[key] = plan_bucket_sizes(
+            [ids.size for ids, _ in uniques],
+            cap=key[0],
+            row_pad=key[1],
+        )
+    return cache[key]
+
+
 def plan_svi_ragged_geometry(
     corpus: Corpus, config: LDAConfig, batch_size: int
 ) -> Optional[dict]:
@@ -119,7 +229,7 @@ def plan_svi_ragged_geometry(
     documents promote into the next larger bucket rather than dragging a
     mostly-padding bucket through every minibatch.  The largest native
     size is always kept (documents must have somewhere to go)."""
-    sizes = sorted(config.bucket_sizes)
+    sizes = sorted(effective_bucket_sizes(corpus, config))
     pad = config.doc_pad_multiple
     D = corpus.num_docs
     if D == 0 or batch_size <= 0:

@@ -1,0 +1,147 @@
+"""Corpus-adaptive ragged bucket geometry (models/layouts.plan_bucket_sizes).
+
+The planner minimises total device slots (rows x width, row-padding and
+per-bucket overhead included) — the sweep phase of the ragged E-step
+costs the same per padding slot as per real slot, so geometry == slots
+(BENCH_SUITE.md, scripts/bucket_geometry_study.py).
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from pylda_tpu.models.layouts import (
+    effective_bucket_sizes,
+    plan_bucket_sizes,
+)
+from pylda_tpu.utils import round_up
+from pylda_tpu.utils.config import LDAConfig
+
+
+def _cost(geom, uniques, row_pad=64, overhead=4096, cap=2048):
+    geom = sorted(geom)
+    rows = {w: 0 for w in geom}
+    mx = geom[-1]
+    for u in uniques:
+        if u > cap:
+            rows[mx] += -(-u // cap)
+        else:
+            rows[next(w for w in geom if u <= w)] += 1
+    return sum(
+        round_up(r, row_pad) * w + overhead
+        for w, r in rows.items()
+        if r > 0 or True
+    )
+
+
+def test_planner_covers_every_document():
+    rng = np.random.default_rng(0)
+    uniques = np.clip(rng.lognormal(4.0, 1.0, 500).astype(int), 1, 1800)
+    geom = plan_bucket_sizes(uniques)
+    assert max(geom) >= round_up(int(uniques.max()), 16)
+    assert all(w % 16 == 0 for w in geom)
+    assert geom == tuple(sorted(set(geom)))
+
+
+def test_planner_beats_pow2_default_on_skewed_corpus():
+    rng = np.random.default_rng(1)
+    uniques = np.clip(rng.lognormal(4.5, 0.9, 20000).astype(int), 1, 5000)
+    planned = plan_bucket_sizes(uniques)
+    pow2 = (64, 128, 256, 512, 1024, 2048)
+    assert _cost(planned, uniques) < _cost(pow2, uniques)
+
+
+def test_planner_matches_brute_force_on_tiny_inputs():
+    # Exhaustive check of the DP against all partitions of the aligned
+    # candidate widths (n <= 5 distinct widths).
+    rng = np.random.default_rng(2)
+    for trial in range(5):
+        uniques = rng.integers(1, 300, size=40)
+        planned = plan_bucket_sizes(
+            uniques, max_buckets=4, align=16, row_pad=8,
+            bucket_overhead_slots=100,
+        )
+        cands = sorted({round_up(int(u), 16) for u in uniques})
+        n = len(cands)
+        best = None
+        for b in range(1, min(4, n) + 1):
+            # edges = any size-b subset of candidates that includes the max
+            for combo in itertools.combinations(cands, b):
+                if combo[-1] != cands[-1]:
+                    continue
+                c = _cost(combo, uniques, row_pad=8, overhead=100,
+                          cap=2048)
+                if best is None or c < best:
+                    best = c
+        assert _cost(planned, uniques, row_pad=8, overhead=100) == best
+
+
+def test_planner_chunks_oversized_docs_at_cap():
+    geom = plan_bucket_sizes([5000, 10], cap=2048)
+    assert max(geom) == 2048
+
+
+def test_planner_degenerate_inputs():
+    assert plan_bucket_sizes([]) == (16,)
+    assert plan_bucket_sizes([0, 0]) == (16,)
+    assert plan_bucket_sizes([1]) == (16,)
+
+
+def test_effective_sizes_policy_and_overrides():
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=128, num_topics=5, num_types=500,
+        mean_doc_length=30.0, seed=0,
+    )
+    default = LDAConfig.__dataclass_fields__["bucket_sizes"].default
+
+    auto = LDAConfig(number_of_topics=5)
+    planned = effective_bucket_sizes(corpus, auto)
+    assert planned != default  # tiny docs -> much tighter geometry
+    assert max(planned) <= 64
+    # plan is cached on the corpus (O(D) walk happens once)
+    assert effective_bucket_sizes(corpus, auto) is planned
+
+    fixed = LDAConfig(number_of_topics=5, bucket_policy="fixed")
+    assert effective_bucket_sizes(corpus, fixed) == default
+
+    explicit = LDAConfig(number_of_topics=5, bucket_sizes=(32, 512))
+    assert effective_bucket_sizes(corpus, explicit) == (32, 512)
+
+    corpus.process_local = True
+    assert effective_bucket_sizes(corpus, auto) == default
+
+
+def test_vb_auto_geometry_matches_fixed_quality():
+    """Engine-level gate: the planned geometry is a layout change only —
+    held-out perplexity must agree with the fixed pow2 geometry to well
+    under the 1% parity budget (trajectories differ slightly because the
+    per-bucket while_loop exit couples docs within a bucket)."""
+    import jax
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import VariationalBayes
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=256, num_topics=8, num_types=300,
+        mean_doc_length=40.0, seed=3,
+    )
+    test_corpus = corpus.subset(range(200, 256))
+    train = corpus.subset(range(200))
+
+    def run(**kw):
+        cfg = LDAConfig(
+            number_of_topics=8, inference_mode="vb", seed=0,
+            inner_iterations=30, dense_vocab_threshold=8,  # force ragged
+            **kw,
+        )
+        eng = VariationalBayes(cfg)
+        eng.initialize(train)
+        eng.learning_many(8)
+        return eng.perplexity(test_corpus)
+
+    p_fixed = run(bucket_policy="fixed")
+    p_auto = run(bucket_policy="auto")
+    assert p_auto == pytest.approx(p_fixed, rel=5e-3)
