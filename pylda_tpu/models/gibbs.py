@@ -104,9 +104,15 @@ class MonteCarlo(Inferencer):
                 corpus.global_doc_offset,
             )
         else:
+            from pylda_tpu.models.layouts import (
+                effective_sequence_bucket_sizes,
+            )
+
             self._buckets = self._maybe_shard(
                 corpus.to_sequence_buckets(
-                    bucket_sizes=cfg.bucket_sizes,
+                    bucket_sizes=effective_sequence_bucket_sizes(
+                        corpus, cfg
+                    ),
                     doc_pad_multiple=cfg.doc_pad_multiple,
                 )
             )
@@ -357,9 +363,13 @@ class MonteCarlo(Inferencer):
         from pylda_tpu.parallel.mesh import host_gather
 
         log_tw = _log_phi_hat(self._n_kv, st.eta)
+        from pylda_tpu.models.layouts import effective_sequence_bucket_sizes
+
         buckets = self._maybe_shard(
             test_corpus.to_sequence_buckets(
-                bucket_sizes=cfg.bucket_sizes,
+                bucket_sizes=effective_sequence_bucket_sizes(
+                    test_corpus, cfg
+                ),
                 doc_pad_multiple=cfg.doc_pad_multiple,
             )
         )

@@ -68,9 +68,11 @@ class Hybrid(VariationalBayes):
                 self._mesh,
                 corpus.global_doc_offset,
             )
+        from pylda_tpu.models.layouts import effective_sequence_bucket_sizes
+
         return self._maybe_shard(
             corpus.to_sequence_buckets(
-                bucket_sizes=cfg.bucket_sizes,
+                bucket_sizes=effective_sequence_bucket_sizes(corpus, cfg),
                 doc_pad_multiple=cfg.doc_pad_multiple,
             )
         )

@@ -212,6 +212,33 @@ def effective_bucket_sizes(corpus: Corpus, config: LDAConfig) -> tuple:
     return cache[key]
 
 
+def effective_sequence_bucket_sizes(corpus: Corpus, config: LDAConfig) -> tuple:
+    """Sequence-layout analog of ``effective_bucket_sizes`` for the
+    sampling engines (Gibbs/hybrid): bucket key is the TOKEN count (a
+    within-doc sweep is a ``lax.scan`` over positions, so per-bucket cost
+    is rows x width — the same slots objective; oversized docs chunk to
+    the cap exactly like the ragged layout's blockwise split)."""
+    fixed = tuple(config.bucket_sizes)
+    if getattr(config, "bucket_policy", "fixed") != "auto":
+        return fixed
+    if fixed != LDAConfig.__dataclass_fields__["bucket_sizes"].default:
+        return fixed
+    if getattr(corpus, "process_local", False):
+        return fixed
+    uniques = getattr(corpus, "_uniques", None)
+    if uniques is None:
+        return fixed
+    key = ("seq", max(fixed), config.doc_pad_multiple)
+    cache = corpus.__dict__.setdefault("_auto_bucket_cache", {})
+    if key not in cache:
+        cache[key] = plan_bucket_sizes(
+            [int(c.sum()) for _, c in uniques],
+            cap=key[1],
+            row_pad=key[2],
+        )
+    return cache[key]
+
+
 def plan_svi_ragged_geometry(
     corpus: Corpus, config: LDAConfig, batch_size: int
 ) -> Optional[dict]:

@@ -145,3 +145,35 @@ def test_vb_auto_geometry_matches_fixed_quality():
     p_fixed = run(bucket_policy="fixed")
     p_auto = run(bucket_policy="auto")
     assert p_auto == pytest.approx(p_fixed, rel=5e-3)
+
+
+def test_sampling_auto_geometry_conserves_counts():
+    """Sequence-layout planner: count-table invariants (SURVEY.md section 4
+    item 2) hold under a planned geometry, including blockwise-chunked
+    oversized docs, and held-out inference still runs."""
+    import numpy as np
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import MonteCarlo
+    from pylda_tpu.models.layouts import effective_sequence_bucket_sizes
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=96, num_topics=4, num_types=60,
+        mean_doc_length=35.0, seed=7,
+    )
+    cfg = LDAConfig(
+        number_of_topics=4, inference_mode="gibbs", seed=0,
+        bucket_sizes=(64, 128, 256, 512, 1024, 2048),  # default
+    )
+    geom = effective_sequence_bucket_sizes(corpus, cfg)
+    assert geom != tuple(cfg.bucket_sizes)  # planner engaged
+    eng = MonteCarlo(cfg)
+    eng.initialize(corpus)
+    eng.learning()
+    nkv = np.asarray(eng._n_kv)
+    assert int(nkv.sum()) == corpus.num_tokens
+    ndk_total = sum(int(np.asarray(n).sum()) for n in eng._ndk)
+    assert ndk_total == corpus.num_tokens
+    ll, gamma = eng.inference(corpus.subset(range(80, 96)))
+    assert np.isfinite(ll)
+    assert gamma.shape[0] == 16
