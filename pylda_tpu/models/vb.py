@@ -222,6 +222,12 @@ class VariationalBayes(Inferencer):
         self._jit_scan = jax.jit(
             self._iterations_scan, static_argnames=("n", "hyper_interval")
         )
+        # Lazy-gamma refresh (the .gamma property after learning_many).
+        self._jit_run_estep = jax.jit(
+            lambda bs, lam, alpha, key, chunks, mask: self._run_estep(
+                bs, lam, alpha, key, dense_chunks=chunks, docs_mask=mask
+            )
+        )
 
     # -- hybrid sstats plan: ragged sweeps + scatter-free dense sstats ------------
 
@@ -492,12 +498,11 @@ class VariationalBayes(Inferencer):
             return new_st, elbo
 
         new_state, elbos = jax.lax.scan(body, state, None, length=n)
-        # Final gammas for export/snapshotting: recompute at the final
-        # lambda (the E-step at fixed lambda is what defines gamma).
-        _, _, gammas = self._iteration(
-            new_state, batches, dense_chunks, docs_mask, update_hypers=False
-        )
-        return new_state, elbos, gammas
+        # No gamma recomputation here: gammas are only consumed by
+        # export/--dump_gamma, and the recompute is a full extra E-step
+        # (1/n of every learning_many — 6% of the 16-pass benchmark).
+        # The .gamma property recomputes lazily at the final lambda.
+        return new_state, elbos
 
     # -- public training surface ---------------------------------------------------
 
@@ -529,7 +534,7 @@ class VariationalBayes(Inferencer):
             return []
         st = self.state
         plan = self._sstats_plan
-        new_state, elbos, gammas = self._jit_scan(
+        new_state, elbos = self._jit_scan(
             st, self._batches,
             plan["chunks"] if plan else None,
             plan["docs_mask"] if plan else None,
@@ -538,7 +543,7 @@ class VariationalBayes(Inferencer):
         )
         self._state = new_state
         self._step_host = self._counter + n
-        self._set_gammas(gammas, self._gamma_doc_ids_for(self._batches, plan))
+        self._set_gammas(None, None)  # lazy: .gamma re-runs the E-step
         return [float(x) for x in np.asarray(elbos)]
 
     def _gamma_doc_ids_for(self, batches, plan) -> List[np.ndarray]:
@@ -666,11 +671,31 @@ class VariationalBayes(Inferencer):
         self._gamma_doc_ids = doc_ids_list
         self._gamma_np = None
 
+    def _recompute_gammas(self) -> None:
+        """E-step at the current lambda to refresh gammas (lazy path for
+        ``learning_many``, which no longer pays an extra per-scan E-step
+        just in case gamma is exported)."""
+        st = self.state
+        plan = self._sstats_plan
+        key = jax.random.fold_in(st.key, 0x6A33A)
+        gammas, *_ = self._jit_run_estep(
+            self._batches, st.lam, st.alpha, key,
+            plan["chunks"] if plan else None,
+            plan["docs_mask"] if plan else None,
+        )
+        self._gammas_dev = gammas
+        self._gamma_doc_ids = self._gamma_doc_ids_for(self._batches, plan)
+
     @property
     def gamma(self) -> Optional[np.ndarray]:
         """Per-document gamma [D, K] in corpus order (host array,
-        assembled on first access)."""
-        if self._gamma_np is None and self._gammas_dev is not None:
+        assembled on first access; recomputed at the current lambda if a
+        fused multi-iteration scan left them stale)."""
+        if self._gamma_np is None:
+            if self._gammas_dev is None:
+                if getattr(self, "_batches", None) is None:
+                    return None
+                self._recompute_gammas()
             from pylda_tpu.parallel.mesh import host_gather
 
             self._gamma_np = layouts.assemble_gamma(
