@@ -149,7 +149,10 @@ def main() -> int:
     )
     eng = VariationalBayes(cfg)
     eng.initialize(corpus)
-    iters = 16
+    # 64 fused iterations per dispatch: production training runs long
+    # fused scans (that IS the design), and at n=16 the ~30 ms tunnel
+    # dispatch tax alone is ~1.9 ms/pass of pure measurement artifact.
+    iters = 64
     eng.learning_many(iters)  # compile + warm (excluded; scan length is
     # a static shape, so warm with the same n as the timed call)
     t0 = time.time()
@@ -189,6 +192,7 @@ def main() -> int:
         "baseline_source": baseline_src,
         "tokens_per_sec": round(corpus.num_tokens / dt, 1),
         "seconds_per_corpus_pass": round(dt, 4),
+        "scan_length": iters,
         "elbo": round(float(elbo), 1),
         "device": str(jax.devices()[0]),
     }

@@ -269,12 +269,20 @@ class VariationalBayes(Inferencer):
         chunks = []
         for start in range(0, num_docs, rows_budget):
             stop = min(num_docs, start + rows_budget)
-            chunks.append(
-                corpus.to_dense(
-                    doc_indices=range(start, stop),
-                    pad_docs_to=_round_up(stop - start, pad),
-                )
+            ch = corpus.to_dense(
+                doc_indices=range(start, stop),
+                pad_docs_to=_round_up(stop - start, pad),
             )
+            if np.asarray(ch.counts).max(initial=0.0) <= 256.0:
+                # bfloat16 is exact for integers <= 256, and these counts
+                # are read every pass (the dominant sstats HBM stream):
+                # half the bytes, bit-identical results after the f32
+                # upcast inside estep_dense_sstats.
+                ch = type(ch)(
+                    counts=jnp.asarray(ch.counts, dtype=jnp.bfloat16),
+                    mask=ch.mask, doc_ids=ch.doc_ids,
+                )
+            chunks.append(ch)
         docs_mask = np.asarray(
             [d.size > 0 for d in corpus.docs], np.float32
         )

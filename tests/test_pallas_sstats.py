@@ -1,0 +1,66 @@
+"""Parity: fused Pallas sufficient-statistics kernel vs the XLA form.
+
+Same reduction as ops/estep.estep_dense_sstats (f32 accumulation), so
+agreement is to f32 matmul reassociation noise, not a statistical
+tolerance.  Runs in interpret mode on the CPU test platform.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pylda_tpu.ops.estep import estep_dense_sstats
+from pylda_tpu.ops.pallas_sstats import pallas_dense_sstats
+
+
+def _case(D, V, K, seed, counts_dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    counts = rng.poisson(0.02, size=(D, V)).astype(np.float32)
+    counts[rng.integers(0, D, 3)] = 0.0  # some all-zero (padding-like) rows
+    gamma = rng.gamma(100.0, 0.01, size=(D, K)).astype(np.float32)
+    lam = rng.gamma(100.0, 0.01, size=(K, V)).astype(np.float32)
+    from pylda_tpu.ops.dirichlet import exp_dirichlet_expectation
+
+    et = exp_dirichlet_expectation(jnp.asarray(gamma))
+    eeb = exp_dirichlet_expectation(jnp.asarray(lam))
+    return jnp.asarray(counts, dtype=counts_dtype), et, eeb
+
+
+@pytest.mark.parametrize(
+    "D,V,K,tile_d,tile_v",
+    [
+        (96, 640, 7, 32, 256),   # padding on every axis, multi-tile grid
+        (256, 1024, 32, 128, 512),
+        (64, 384, 100, 64, 128), # K pads to 128
+    ],
+)
+def test_matches_xla_form(D, V, K, tile_d, tile_v):
+    counts, et, eeb = _case(D, V, K, seed=D + V + K)
+    ss_ref, tok_ref = estep_dense_sstats(counts, et, eeb)
+    ss, tok = pallas_dense_sstats(
+        counts, et, eeb, tile_d=tile_d, tile_v=tile_v, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(ss_ref),
+                               rtol=2e-5, atol=1e-6)
+    assert float(tok) == pytest.approx(float(tok_ref), rel=2e-5)
+
+
+def test_bf16_counts_storage_and_compute():
+    counts, et, eeb = _case(128, 512, 16, seed=0,
+                            counts_dtype=jnp.bfloat16)
+    # bf16 counts are exact integers here; f32-compute results must match
+    # the f32-storage XLA form exactly up to matmul reassociation.
+    ss_ref, tok_ref = estep_dense_sstats(
+        counts.astype(jnp.float32), et, eeb
+    )
+    ss, tok = pallas_dense_sstats(counts, et, eeb, interpret=True)
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(ss_ref),
+                               rtol=2e-5, atol=1e-6)
+    # bf16 compute: statistical agreement only
+    ss2, tok2 = pallas_dense_sstats(
+        counts, et, eeb, compute_dtype="bfloat16", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(ss2), np.asarray(ss_ref),
+                               rtol=2e-2, atol=1e-4)
+    assert float(tok2) == pytest.approx(float(tok_ref), rel=2e-2)
