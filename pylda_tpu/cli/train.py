@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sstats_dense_total_budget_mb", type=int, default=4096,
                    help="HBM budget for the dense sstats counts matrix; "
                         "above it 'auto' falls back to scatter")
+    p.add_argument("--sstats_kernel", default="xla",
+                   choices=["xla", "pallas"],
+                   help="dense-sstats backend: 'pallas' fuses the "
+                        "phinorm->ratio->sstats chain in VMEM "
+                        "(ops/pallas_sstats.py)")
     p.add_argument("--mesh", default=None,
                    help="data,model mesh shape, e.g. 8,1 or 4,2")
     p.add_argument("--shard_vocab", action="store_true")
@@ -163,6 +168,7 @@ def config_from_args(args) -> LDAConfig:
         ),
         sstats_mode=args.sstats_mode,
         sstats_dense_total_budget_mb=args.sstats_dense_total_budget_mb,
+        sstats_kernel=args.sstats_kernel,
         mesh_shape=(
             tuple(int(x) for x in args.mesh.split(",")) if args.mesh else None
         ),

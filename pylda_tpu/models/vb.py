@@ -330,11 +330,20 @@ class VariationalBayes(Inferencer):
         et_docs = exp_dirichlet_expectation(gamma_docs)
         sstats = None
         token_score = jnp.zeros((), dtype=self._dtype)
+        if cfg.sstats_kernel == "pallas":
+            from pylda_tpu.ops.pallas_sstats import pallas_dense_sstats
+
+            sstats_fn = functools.partial(
+                pallas_dense_sstats,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            sstats_fn = estep_dense_sstats
         for ch in dense_chunks:
             cidx = jnp.where(ch.doc_ids >= 0, ch.doc_ids, 0)
             # Padding rows gather doc 0's expEtheta but carry all-zero
             # counts — inert in both sstats and the token score.
-            ss, tok = estep_dense_sstats(
+            ss, tok = sstats_fn(
                 ch.counts, et_docs[cidx], eeb,
                 eps=cfg.eps, compute_dtype=cfg.compute_dtype,
             )

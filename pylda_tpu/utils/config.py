@@ -110,6 +110,13 @@ class LDAConfig:
     # to the scatter path when num_docs * V * 4 bytes exceeds this.
     sstats_dense_total_budget_mb: int = 4096
 
+    # Backend for the scatter-free dense sufficient statistics
+    # (sstats_mode="auto" path): "xla" = ops/estep.estep_dense_sstats
+    # (two MXU matmuls through a materialised [D, V] phinorm), "pallas" =
+    # ops/pallas_sstats.pallas_dense_sstats (phinorm tiled through VMEM,
+    # never written to HBM).  Same reduction either way; parity-tested.
+    sstats_kernel: str = "xla"
+
     # ----- kernels -----
     # "never" | "always": route dense-batch E-steps through the fused
     # Pallas VMEM-resident kernel (ops/pallas_estep.py).  Experimental:
@@ -182,6 +189,8 @@ class LDAConfig:
             raise ValueError(f"unknown use_pallas: {self.use_pallas}")
         if self.sstats_mode not in ("auto", "scatter"):
             raise ValueError(f"unknown sstats_mode: {self.sstats_mode}")
+        if self.sstats_kernel not in ("xla", "pallas"):
+            raise ValueError(f"unknown sstats_kernel: {self.sstats_kernel}")
         if self.bucket_policy not in ("auto", "fixed"):
             raise ValueError(f"unknown bucket_policy: {self.bucket_policy}")
         if not self.bucket_sizes or any(b <= 0 for b in self.bucket_sizes):

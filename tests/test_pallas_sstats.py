@@ -46,6 +46,33 @@ def test_matches_xla_form(D, V, K, tile_d, tile_v):
     assert float(tok) == pytest.approx(float(tok_ref), rel=2e-5)
 
 
+def test_engine_kernel_flag_matches_xla():
+    """sstats_kernel='pallas' through the full VB engine (interpret mode
+    on CPU): per-iteration ELBOs match the XLA backend to f32 noise."""
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import VariationalBayes
+    from pylda_tpu.utils.config import LDAConfig
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=192, num_topics=6, num_types=500,
+        mean_doc_length=30.0, seed=11,
+    )
+
+    def run(kernel):
+        cfg = LDAConfig(
+            number_of_topics=6, inference_mode="vb", seed=0,
+            inner_iterations=15, dense_vocab_threshold=8,  # force ragged
+            sstats_kernel=kernel,
+        )
+        eng = VariationalBayes(cfg)
+        eng.initialize(corpus)
+        return eng.learning_many(4)
+
+    e_xla = run("xla")
+    e_pallas = run("pallas")
+    np.testing.assert_allclose(e_pallas, e_xla, rtol=1e-5)
+
+
 def test_bf16_counts_storage_and_compute():
     counts, et, eeb = _case(128, 512, 16, seed=0,
                             counts_dtype=jnp.bfloat16)
