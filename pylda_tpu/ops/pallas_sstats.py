@@ -77,6 +77,36 @@ def _sstats_tile_kernel(
     score_ref[0, 0] += jnp.sum(counts * jnp.log(phinorm))
 
 
+def _vmem_need(td: int, tv: int, kp: int, counts_itemsize: int) -> int:
+    """Scoped-VMEM estimate (bytes) for one grid step: double-buffered
+    input blocks + the phinorm/ratio temporaries + the resident output
+    block.  A plan over ~14 MB OOMs at compile time — and on this
+    tunneled setup a failed remote compile has been observed to WEDGE
+    the device, so the planner is deliberately conservative."""
+    return (
+        2 * td * tv * counts_itemsize  # counts block (double-buffered)
+        + 2 * td * tv * 4  # phinorm + ratio f32 temporaries
+        + 2 * td * kp * 4  # et block (double-buffered)
+        + 2 * kp * tv * 4  # eeb block (double-buffered)
+        + kp * tv * 4  # sstats accumulator (revisited, single)
+    )
+
+
+def plan_sstats_tiles(
+    D: int, V: int, K: int, counts_itemsize: int = 4,
+    budget: int = 13 * 2**20,
+) -> Tuple[int, int]:
+    """Largest (tile_d, tile_v) under the VMEM budget, preferring deep
+    doc tiles (counts reads amortise the eeb/sstats blocks over more
+    rows)."""
+    kp = _round_up(K, 128)
+    for td, tv in ((1024, 512), (512, 512), (512, 256), (256, 256),
+                   (128, 256), (128, 128), (64, 128), (8, 128)):
+        if _vmem_need(td, tv, kp, counts_itemsize) <= budget:
+            return td, tv
+    return 8, 128
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "compute_dtype", "tile_d", "tile_v", "interpret"),
@@ -87,8 +117,8 @@ def pallas_dense_sstats(
     exp_elog_beta: jnp.ndarray,  # [K, V] f32
     eps: float = 1e-30,
     compute_dtype: str = "float32",
-    tile_d: int = 512,
-    tile_v: int = 512,
+    tile_d: int = 0,  # 0 = plan under the VMEM budget
+    tile_v: int = 0,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused ``estep_dense_sstats`` (same contract: returns
@@ -96,6 +126,9 @@ def pallas_dense_sstats(
     D, V = counts.shape
     K = exp_etheta.shape[1]
     Kp = _round_up(K, 128)
+    if not tile_d or not tile_v:
+        planned = plan_sstats_tiles(D, V, K, counts.dtype.itemsize)
+        tile_d, tile_v = (tile_d or planned[0], tile_v or planned[1])
     TD = min(tile_d, _round_up(D, 8))
     TV = min(tile_v, _round_up(V, 128))
     Dp = _round_up(D, TD)
