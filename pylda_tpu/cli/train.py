@@ -126,6 +126,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="measure per-phase device times (e-step per "
                         "batch, m-step, bound, hyper updates) once after "
                         "training and log them to metrics.jsonl")
+    p.add_argument("--roofline", action="store_true",
+                   help="log the analytic per-phase FLOP/HBM cost model "
+                        "and roofline-bound times (v5e peaks) to "
+                        "metrics.jsonl at startup")
     p.add_argument("--tensorboard_dir", default=None,
                    help="write per-iteration scalars (log likelihood, "
                         "docs/sec, held-out perplexity) as TensorBoard "
@@ -264,6 +268,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         engine = make_engine(config)
         engine.initialize(train, vocab, mesh=mesh)
         start_iter = 0
+
+    if args.roofline and hasattr(engine, "_batches"):
+        from pylda_tpu.utils.roofline import estep_cost_model
+
+        for phase, row in estep_cost_model(engine).items():
+            metrics.log(event="roofline", phase=phase, **{
+                k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in row.items()
+            })
 
     tb_writer = None
     if args.tensorboard_dir and is_host_zero():

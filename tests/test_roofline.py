@@ -1,0 +1,65 @@
+"""Roofline cost model (SURVEY.md section 5 occupancy reporting)."""
+
+import numpy as np
+
+from pylda_tpu.corpus.synthetic import synthetic_corpus
+from pylda_tpu.models import VariationalBayes
+from pylda_tpu.utils.config import LDAConfig
+from pylda_tpu.utils.roofline import (
+    ChipPeaks,
+    estep_cost_model,
+    utilisation,
+)
+
+
+def _engine(**kw):
+    corpus, _, _ = synthetic_corpus(
+        num_docs=256, num_topics=8, num_types=600,
+        mean_doc_length=40.0, seed=0,
+    )
+    cfg = LDAConfig(number_of_topics=8, inference_mode="vb", seed=0,
+                    dense_vocab_threshold=8, **kw)
+    eng = VariationalBayes(cfg)
+    eng.initialize(corpus)
+    return eng
+
+
+def test_cost_model_phases_and_consistency():
+    eng = _engine()
+    model = estep_cost_model(eng)
+    assert set(model) >= {"sweeps_per_sweep", "sstats", "elog_beta"}
+    sw = model["sweeps_per_sweep"]
+    # analytic cross-check: 2 contractions x 2 flops/MAC x slots x K
+    slots = sum(b.ids.shape[0] * b.ids.shape[1] for b in eng._batches)
+    assert sw["flops"] == 4 * slots * 8
+    assert sw["bound_ms"] > 0 and sw["bound"] in ("mxu", "hbm")
+    # sstats flops cover every padded chunk row against the full vocab
+    ss = model["sstats"]
+    rows = sum(c.counts.shape[0] for c in eng._sstats_plan["chunks"])
+    assert ss["flops"] == 4 * rows * 600 * 8
+    assert ss["docs"] == 256
+
+
+def test_pallas_kernel_drops_phinorm_traffic():
+    xla = estep_cost_model(_engine(sstats_kernel="xla"))["sstats"]
+    pk = estep_cost_model(_engine(sstats_kernel="pallas"))["sstats"]
+    assert pk["hbm_bytes"] < xla["hbm_bytes"]
+    assert pk["flops"] == xla["flops"]
+
+
+def test_bf16_halves_sweep_traffic_and_doubles_mxu():
+    f32 = estep_cost_model(_engine())["sweeps_per_sweep"]
+    bf16 = estep_cost_model(
+        _engine(compute_dtype="bfloat16")
+    )["sweeps_per_sweep"]
+    assert bf16["hbm_bytes"] == f32["hbm_bytes"] // 2
+    assert bf16["flops"] == f32["flops"]
+
+
+def test_utilisation_bounds():
+    assert utilisation(2.0, 1.0) == 0.5
+    assert utilisation(0.5, 1.0) == 1.0  # clamped at speed of light
+    assert utilisation(0.0, 1.0) == 0.0
+    assert np.isclose(
+        utilisation(4.0, ChipPeaks().hbm_bytes * 0 + 1.0), 0.25
+    )
