@@ -222,12 +222,6 @@ class VariationalBayes(Inferencer):
         self._jit_scan = jax.jit(
             self._iterations_scan, static_argnames=("n", "hyper_interval")
         )
-        # Lazy-gamma refresh (the .gamma property after learning_many).
-        self._jit_run_estep = jax.jit(
-            lambda bs, lam, alpha, key, chunks, mask: self._run_estep(
-                bs, lam, alpha, key, dense_chunks=chunks, docs_mask=mask
-            )
-        )
 
     # -- hybrid sstats plan: ragged sweeps + scatter-free dense sstats ------------
 
@@ -688,6 +682,26 @@ class VariationalBayes(Inferencer):
         self._gamma_doc_ids = doc_ids_list
         self._gamma_np = None
 
+    @property
+    def _jit_run_estep(self):
+        """One-dispatch E-step (shared by the lazy .gamma refresh and
+        held-out inference — the unjitted per-op path paid the ~30 ms
+        tunnel dispatch tax hundreds of times per pylda-test run).
+        Created on first use so it also exists on engines restored from
+        a checkpoint without a training corpus."""
+        fn = getattr(self, "_jit_run_estep_fn", None)
+        if fn is None:
+            fn = jax.jit(
+                lambda bs, lam, alpha, key, chunks, mask: self._run_estep(
+                    bs, lam, alpha, key, dense_chunks=chunks, docs_mask=mask,
+                    num_docs=(
+                        None if mask is None else mask.shape[0]
+                    ),
+                )
+            )
+            self._jit_run_estep_fn = fn
+        return fn
+
     def _recompute_gammas(self) -> None:
         """E-step at the current lambda to refresh gammas (lazy path for
         ``learning_many``, which no longer pays an extra per-scan E-step
@@ -732,11 +746,13 @@ class VariationalBayes(Inferencer):
         batches = self._build_batches(test_corpus)
         plan = self._plan_dense_sstats(test_corpus)
         key = jax.random.fold_in(st.key, 0x7E57)
-        gammas, _, token_score, theta_score, _ = self._run_estep(
+        # One device dispatch for the whole held-out E-step (the unjitted
+        # path dispatched per op — hundreds of ~30 ms tunnel round-trips
+        # per pylda-test run on this setup).
+        gammas, _, token_score, theta_score, _ = self._jit_run_estep(
             batches, st.lam, st.alpha, key,
-            dense_chunks=plan["chunks"] if plan else None,
-            docs_mask=plan["docs_mask"] if plan else None,
-            num_docs=plan["num_docs"] if plan else None,
+            plan["chunks"] if plan else None,
+            plan["docs_mask"] if plan else None,
         )
         from pylda_tpu.parallel.mesh import host_gather
 
