@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "to the model)")
     p.add_argument("--use_train_split", action="store_true",
                    help="evaluate doc.dat instead of test.dat")
+    p.add_argument("--coherence", action="store_true",
+                   help="also report per-topic UMass coherence of the "
+                        "model's top words, scored on the evaluated "
+                        "corpus (utils/coherence.py)")
+    p.add_argument("--coherence_top_n", type=int, default=10)
     return p
 
 
@@ -72,6 +77,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         per_word_perplexity=round(perplexity, 4),
         gamma_file=out,
     )
+    if args.coherence:
+        from pylda_tpu.utils.coherence import engine_coherence
+
+        coh = engine_coherence(engine, corpus, top_n=args.coherence_top_n)
+        metrics.log(
+            event="coherence",
+            mean_umass=round(coh["mean"], 4),
+            top_n=coh["top_n"],
+            per_topic=[round(c, 3) for c in coh["per_topic"]],
+        )
     return 0
 
 
