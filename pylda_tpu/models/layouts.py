@@ -219,13 +219,20 @@ def effective_bucket_sizes(
     if getattr(corpus, "process_local", False):
         return fixed
     uniques = getattr(corpus, "_uniques", None)
-    if uniques is None:
-        return fixed  # e.g. disk-backed streaming corpus
+    if uniques is not None:
+        counts = [ids.size for ids, _ in uniques]
+    else:
+        # Disk-backed streaming corpus: the offset-indexing pass records
+        # per-doc unique counts (4 bytes/doc), so the planner needs no
+        # extra corpus pass.
+        counts = getattr(corpus, "_unique_counts", None)
+        if counts is None:
+            return fixed
     key = (max(fixed), config.doc_pad_multiple, minibatch_fraction)
     cache = corpus.__dict__.setdefault("_auto_bucket_cache", {})
     if key not in cache:  # O(D) histogram walk — plan once per corpus
         cache[key] = plan_bucket_sizes(
-            [ids.size for ids, _ in uniques],
+            counts,
             cap=key[0],
             row_pad=key[1],
             minibatch_fraction=minibatch_fraction,

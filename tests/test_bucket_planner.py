@@ -143,6 +143,37 @@ def test_effective_sizes_policy_and_overrides():
     assert effective_bucket_sizes(corpus, auto) == default
 
 
+def test_streaming_corpus_plans_same_geometry_as_in_memory(tmp_path):
+    """The streaming index's per-doc unique counts feed the planner, so
+    a StreamingCorpus and the equivalent in-RAM Corpus plan IDENTICAL
+    geometries (shape parity between the two input paths)."""
+    from pylda_tpu.corpus.corpus import Corpus
+    from pylda_tpu.corpus.streaming import StreamingCorpus
+    from pylda_tpu.corpus.vocabulary import Vocabulary
+
+    rng = np.random.default_rng(9)
+    vocab = Vocabulary([f"w{i}" for i in range(300)])
+    lines = [
+        " ".join(
+            f"w{rng.integers(0, 300)}"
+            for _ in range(int(rng.lognormal(3.0, 0.7)) + 1)
+        )
+        for _ in range(200)
+    ]
+    mem = Corpus.from_lines(lines, vocab)
+    path = str(tmp_path / "doc.dat")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    stream = StreamingCorpus(path, vocab)
+
+    cfg = LDAConfig(number_of_topics=4)
+    g_mem = effective_bucket_sizes(mem, cfg)
+    g_stream = effective_bucket_sizes(stream, cfg)
+    assert g_mem == g_stream
+    default = LDAConfig.__dataclass_fields__["bucket_sizes"].default
+    assert g_stream != default  # the planner actually engaged
+
+
 def test_vb_auto_geometry_matches_fixed_quality():
     """Engine-level gate: the planned geometry is a layout change only —
     held-out perplexity must agree with the fixed pow2 geometry to well
