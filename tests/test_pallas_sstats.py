@@ -46,6 +46,27 @@ def test_matches_xla_form(D, V, K, tile_d, tile_v):
     assert float(tok) == pytest.approx(float(tok_ref), rel=2e-5)
 
 
+def test_tile_planner_respects_vmem_budget():
+    from pylda_tpu.ops.pallas_sstats import _vmem_need, plan_sstats_tiles
+
+    for K in (8, 100, 1000):
+        for itemsize in (2, 4):
+            td, tv = plan_sstats_tiles(4096, 100_000, K, itemsize)
+            kp = (K + 127) // 128 * 128
+            assert _vmem_need(td, tv, kp, itemsize) <= 13 * 2**20
+    # the plan that OOM'd the device is correctly over budget
+    assert _vmem_need(2048, 512, 128, 4) > 13 * 2**20
+
+
+def test_tiny_shapes():
+    counts, et, eeb = _case(5, 70, 3, seed=1)
+    ss_ref, tok_ref = estep_dense_sstats(counts, et, eeb)
+    ss, tok = pallas_dense_sstats(counts, et, eeb, interpret=True)
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(ss_ref),
+                               rtol=2e-5, atol=1e-6)
+    assert float(tok) == pytest.approx(float(tok_ref), rel=2e-5, abs=1e-6)
+
+
 def test_engine_kernel_flag_matches_xla():
     """sstats_kernel='pallas' through the full VB engine (interpret mode
     on CPU): per-iteration ELBOs match the XLA backend to f32 noise."""
