@@ -216,3 +216,54 @@ def test_train_cli_resume(corpus_dir, tmp_path):
     assert rc == 0
     # The resumed run continues from iteration 2 → produces model-4.
     assert glob.glob(os.path.join(out, "*", "*", "model-4"))
+
+
+def test_new_layout_and_eval_flags(corpus_dir, tmp_path, capsys):
+    """Session-4 surfaces: --bucket_policy/--bucket_sizes plumb into the
+    config, --roofline logs the cost model, pylda-test --coherence logs
+    the metric."""
+    import json
+
+    args = build_parser().parse_args([
+        f"--input_directory={corpus_dir}",
+        "--output_directory=/tmp/x",
+        "--number_of_topics=5",
+        "--bucket_policy=fixed",
+        "--bucket_sizes=32,64,256",
+        "--sstats_kernel=pallas",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.bucket_policy == "fixed"
+    assert cfg.bucket_sizes == (32, 64, 256)
+    assert cfg.sstats_kernel == "pallas"
+
+    out = str(tmp_path / "out")
+    rc = train_main([
+        f"--input_directory={corpus_dir}",
+        f"--output_directory={out}",
+        "--number_of_topics=5",
+        "--training_iterations=2",
+        "--inner_iterations=10",
+        "--dense_vocab_threshold=8",  # ragged path so roofline has phases
+        "--roofline",
+        "--seed=1",
+    ])
+    assert rc == 0
+    run = glob.glob(os.path.join(out, "*", "*"))[0]
+    events = [json.loads(l) for l in open(os.path.join(run, "metrics.jsonl"))]
+    roof = [e for e in events if e.get("event") == "roofline"]
+    assert {e["phase"] for e in roof} >= {"sweeps_per_sweep", "elog_beta"}
+    assert all(e["bound_ms"] >= 0 for e in roof)
+
+    capsys.readouterr()
+    rc = run_launch_test([
+        f"--model={os.path.join(run, 'model-2')}",
+        f"--input_directory={corpus_dir}",
+        f"--output_file={tmp_path / 'g.out'}",
+        "--coherence",
+    ])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    coh_lines = [l for l in stdout.splitlines()
+                 if "event=coherence" in l]
+    assert coh_lines and "mean_umass=" in coh_lines[-1]
