@@ -126,6 +126,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="measure per-phase device times (e-step per "
                         "batch, m-step, bound, hyper updates) once after "
                         "training and log them to metrics.jsonl")
+    p.add_argument("--async_checkpoint", action="store_true",
+                   help="write periodic model-<N> snapshots from a "
+                        "background thread (the collective host-gather "
+                        "stays synchronous; only the disk IO moves off "
+                        "the train loop)")
     p.add_argument("--roofline", action="store_true",
                    help="log the analytic per-phase FLOP/HBM cost model "
                         "and roofline-bound times (v5e peaks) to "
@@ -327,7 +332,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             engine.export_beta(
                 os.path.join(run_dir, f"exp_beta-{it}"), top_k=50
             )
-            engine.save(os.path.join(run_dir, f"model-{it}"))
+            engine.save(os.path.join(run_dir, f"model-{it}"),
+                        async_write=args.async_checkpoint)
             if args.dump_gamma and getattr(engine, "gamma", None) is not None:
                 if is_host_zero():
                     import numpy as np
@@ -358,6 +364,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     # Every host participates (collective gathers/evals); host 0 writes.
     engine.export_beta(os.path.join(run_dir, f"exp_beta-{n}"), top_k=50)
     engine.save(os.path.join(run_dir, f"model-{n}"))
+    engine.wait_for_checkpoint()
     if test is not None:
         metrics.log(
             event="final",

@@ -243,7 +243,12 @@ class Inferencer:
     def _load_extra_state(self, blobs: dict) -> None:
         pass
 
-    def save(self, path: str, format: Optional[str] = None) -> None:
+    def save(
+        self,
+        path: str,
+        format: Optional[str] = None,
+        async_write: bool = False,
+    ) -> None:
         """Serialise (state pytree, vocab, config) — the sharding-aware
         analog of the reference's ``cPickle.dump(engine, model-<N>)``.
 
@@ -252,11 +257,20 @@ class Inferencer:
         names it first); defaults to ``config.checkpoint_format``.
         ``load`` auto-detects the format from the path.
 
+        ``async_write`` (npz only): the collective host-gather still
+        happens on the calling thread (it must — every process
+        participates), but the file write + atomic rename move to a
+        background thread so periodic snapshots do not stall the train
+        loop on disk IO (SURVEY.md section 5 "periodic async
+        checkpoint").  A subsequent save/``wait_for_checkpoint`` joins
+        the in-flight write first, so snapshots never interleave.
+
         Call from EVERY process (gathers are collective when state is
         sharded across hosts); only host 0 writes."""
         from pylda_tpu.parallel.mesh import host_gather
         from pylda_tpu.utils.metrics import is_host_zero
 
+        self.wait_for_checkpoint()  # at most one in-flight write
         fmt = format or getattr(self._config, "checkpoint_format", "npz")
         st = self.state
         blobs = {
@@ -306,18 +320,36 @@ class Inferencer:
         )
         path = os.path.abspath(path)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        # Atomic publish: a crash/SIGKILL mid-write must never leave a
-        # truncated model-<N> visible (resume picks the LATEST snapshot,
-        # so a torn file would poison recovery — the exact fault
-        # tests/test_fault_tolerance.py injects).
-        tmp = f"{path}.tmp.{os.getpid()}"
-        try:
-            with open(tmp, "wb") as f:
-                np.savez(f, **blobs)
-            os.replace(tmp, path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+
+        def _write():
+            # Atomic publish: a crash/SIGKILL mid-write must never leave
+            # a truncated model-<N> visible (resume picks the LATEST
+            # snapshot, so a torn file would poison recovery — the exact
+            # fault tests/test_fault_tolerance.py injects).
+            tmp = f"{path}.tmp.{os.getpid()}"
+            try:
+                with open(tmp, "wb") as f:
+                    np.savez(f, **blobs)
+                os.replace(tmp, path)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+
+        if async_write:
+            import threading
+
+            self._ckpt_thread = threading.Thread(target=_write, daemon=True)
+            self._ckpt_thread.start()
+        else:
+            _write()
+
+    def wait_for_checkpoint(self) -> None:
+        """Join any in-flight async checkpoint write (no-op otherwise).
+        Call before reading a just-saved snapshot or exiting."""
+        t = getattr(self, "_ckpt_thread", None)
+        if t is not None:
+            t.join()
+            self._ckpt_thread = None
 
     @staticmethod
     def load(

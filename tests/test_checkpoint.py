@@ -135,3 +135,44 @@ def test_orbax_inference_only_restore(corpus, tmp_path):
     res = Inferencer.load(path)
     ll, gamma = res.inference(corpus)
     assert np.isfinite(ll) and gamma.shape == (corpus.num_docs, 4)
+
+
+def test_async_checkpoint_round_trip(tmp_path):
+    """async_write moves the npz write off-thread; a subsequent save
+    joins the in-flight one, and wait_for_checkpoint makes the file
+    safe to read. Restored state must match a synchronous save."""
+    import numpy as np
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import VariationalBayes
+    from pylda_tpu.models.base import Inferencer
+    from pylda_tpu.utils.config import LDAConfig
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=96, num_topics=4, num_types=200,
+        mean_doc_length=25.0, seed=2,
+    )
+    eng = VariationalBayes(LDAConfig(number_of_topics=4, seed=0))
+    eng.initialize(corpus)
+    eng.learning_many(3)
+
+    p_async = str(tmp_path / "model-async")
+    p_sync = str(tmp_path / "model-sync")
+    eng.save(p_async, async_write=True)
+    eng.save(p_sync)  # joins the async write first — no interleaving
+    eng.wait_for_checkpoint()
+
+    a = Inferencer.load(p_async)
+    s = Inferencer.load(p_sync)
+    np.testing.assert_array_equal(
+        np.asarray(a.state.lam), np.asarray(s.state.lam)
+    )
+    assert int(a.state.step) == int(s.state.step) == 3
+
+    # back-to-back async saves serialise cleanly
+    for i in range(3):
+        eng.learning()
+        eng.save(str(tmp_path / f"model-{i}"), async_write=True)
+    eng.wait_for_checkpoint()
+    last = Inferencer.load(str(tmp_path / "model-2"))
+    assert int(last.state.step) == 6
