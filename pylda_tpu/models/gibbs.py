@@ -415,6 +415,29 @@ class MonteCarlo(Inferencer):
 
     # -- checkpoint extras ------------------------------------------------------------
 
+    @property
+    def gamma(self):
+        """Per-document doc-topic pseudo-counts [D, K] in corpus order:
+        alpha + n_dk from the current count tables (the collapsed-Gibbs
+        analog of the VB family's gamma — same surface, so
+        ``--dump_gamma``/gamma exports work for the sampling engines
+        too).  Blockwise-chunked long documents recombine additively
+        through ``layouts.assemble_gamma``.  Collective when sharded
+        (host_gather); call from every process."""
+        if not getattr(self, "_ndk", None):
+            return None
+        from pylda_tpu.models import layouts
+        from pylda_tpu.parallel.mesh import host_gather
+
+        alpha_np = np.asarray(host_gather(self.state.alpha))
+        return layouts.assemble_gamma(
+            [np.asarray(host_gather(b.doc_ids)) for b in self._buckets],
+            [alpha_np[None, :] + np.asarray(host_gather(n))
+             for n in self._ndk],
+            self._corpus.global_num_docs,
+            alpha_np,
+        )
+
     def _extra_state(self) -> dict:
         from pylda_tpu.parallel.mesh import host_gather
 

@@ -206,3 +206,29 @@ def test_gibbs_topic_recovery():
     best = overlaps.max(axis=1)
     assert (best >= 4).all(), best
     assert best.mean() >= 6.5, best
+
+
+def test_gibbs_gamma_surface():
+    """gamma = alpha + n_dk in corpus order; row sums conserve tokens
+    (sum gamma - D*sum(alpha) == corpus tokens), matching the VB-family
+    surface used by --dump_gamma."""
+    import numpy as np
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import MonteCarlo
+    from pylda_tpu.utils.config import LDAConfig
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=64, num_topics=4, num_types=80,
+        mean_doc_length=30.0, seed=3,
+    )
+    eng = MonteCarlo(LDAConfig(
+        number_of_topics=4, inference_mode="gibbs", seed=0,
+    ))
+    eng.initialize(corpus)
+    eng.learning_many(2)
+    g = eng.gamma
+    assert g.shape == (64, 4)
+    alpha = np.asarray(eng.state.alpha)
+    total = g.sum() - 64 * alpha.sum()
+    assert int(round(float(total))) == corpus.num_tokens
