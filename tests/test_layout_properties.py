@@ -81,3 +81,50 @@ def test_minibatch_indices_partition_exactly(docs, seed):
     parts = corpus.minibatch_indices(3, seed=seed)
     flat = np.concatenate(parts) if parts else np.array([], np.int64)
     assert sorted(flat.tolist()) == list(range(corpus.num_docs))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    uniques=st.lists(
+        st.integers(min_value=0, max_value=6000), min_size=0, max_size=200
+    ),
+    align=st.sampled_from([8, 16, 32]),
+    max_buckets=st.integers(min_value=1, max_value=8),
+)
+def test_planned_geometry_always_admits_every_document(
+    uniques, align, max_buckets
+):
+    """plan_bucket_sizes invariants for arbitrary inputs: widths are
+    aligned, sorted, within cap, and every document either fits a
+    bucket or (> cap) chunks into the cap-wide largest bucket; the plan
+    never exceeds the single-bucket cost under its own model."""
+    from pylda_tpu.models.layouts import plan_bucket_sizes
+    from pylda_tpu.utils import round_up
+
+    cap = 2048
+    geom = plan_bucket_sizes(
+        uniques, max_buckets=max_buckets, align=align, cap=cap,
+        row_pad=8, bucket_overhead_slots=64,
+    )
+    assert geom == tuple(sorted(set(geom)))
+    assert all(w % align == 0 and 0 < w <= max(cap, align) for w in geom)
+    assert len(geom) <= max(max_buckets, 1)
+    real = [u for u in uniques if u > 0]
+    if real:
+        assert max(geom) >= min(round_up(max(real), align), cap)
+
+
+@settings(max_examples=25, deadline=None)
+@given(docs=docs_strategy)
+def test_auto_geometry_layout_conserves_counts(docs):
+    """End-to-end: a planner-chosen geometry through to_ragged_buckets
+    conserves total token mass (chunked oversized docs included)."""
+    from pylda_tpu.models.layouts import plan_bucket_sizes
+
+    corpus = Corpus([np.asarray(d, np.int32) for d in docs], _vocab)
+    geom = plan_bucket_sizes(
+        [ids.size for ids, _ in corpus._uniques], align=8, row_pad=8
+    )
+    buckets = corpus.to_ragged_buckets(bucket_sizes=geom)
+    total = sum(float(np.asarray(b.cnts).sum()) for b in buckets)
+    assert total == corpus.num_tokens
