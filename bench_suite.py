@@ -35,7 +35,7 @@ def _engine(cfg_kwargs, corpus, vocab=None, mesh=None):
     return eng
 
 
-def _throughput(eng, corpus, iters, warm=2, repeats=3):
+def _throughput(eng, corpus, iters, repeats=3):
     eng.learning_many(iters)  # compile + warm at the measured scan length
     dt = float("inf")  # best-of-N: occasional multi-x device hiccups
     for _ in range(repeats):
