@@ -25,6 +25,7 @@ from pylda_tpu.version import __version__
 from pylda_tpu.utils.config import LDAConfig
 from pylda_tpu.corpus.vocabulary import Vocabulary
 from pylda_tpu.corpus.corpus import Corpus
+from pylda_tpu.corpus.streaming import StreamingCorpus
 from pylda_tpu.models import (
     Hybrid,
     Inferencer,
@@ -33,16 +34,19 @@ from pylda_tpu.models import (
     VariationalBayes,
     make_engine,
 )
+from pylda_tpu.utils.coherence import engine_coherence
 
 __all__ = [
     "__version__",
     "LDAConfig",
     "Vocabulary",
     "Corpus",
+    "StreamingCorpus",
     "Inferencer",
     "VariationalBayes",
     "StochasticVariationalBayes",
     "Hybrid",
     "MonteCarlo",
     "make_engine",
+    "engine_coherence",
 ]
