@@ -126,6 +126,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="measure per-phase device times (e-step per "
                         "batch, m-step, bound, hyper updates) once after "
                         "training and log them to metrics.jsonl")
+    p.add_argument("--coherence", action="store_true",
+                   help="log mean UMass topic coherence (scored on the "
+                        "training corpus) at every snapshot interval")
     p.add_argument("--async_checkpoint", action="store_true",
                    help="write periodic model-<N> snapshots from a "
                         "background thread (the collective host-gather "
@@ -334,6 +337,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
             engine.save(os.path.join(run_dir, f"model-{it}"),
                         async_write=args.async_checkpoint)
+            if args.coherence and getattr(train, "_uniques", None) is not None:
+                from pylda_tpu.utils.coherence import engine_coherence
+
+                coh = engine_coherence(engine, train)
+                metrics.log(event="coherence", iteration=it,
+                            mean_umass=round(coh["mean"], 4),
+                            top_n=coh["top_n"])
             if args.dump_gamma and getattr(engine, "gamma", None) is not None:
                 if is_host_zero():
                     import numpy as np
