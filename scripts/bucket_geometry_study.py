@@ -10,8 +10,13 @@ end-to-end engine pass actually gets faster (more buckets = more
 per-bucket glue + more sub-graphs, and sublane/lane padding can eat
 the savings).
 
-Methodology: fused learning_many(16) through the engine, warm + timed
+Methodology: fused learning_many through the engine, warm + timed
 (per CLAUDE.md measurement discipline — never per-call wall timing).
+
+Measured (v5e, 64-pass scan, 2026-08-17): default-pow2 10.77 ms/pass
+(622,592 slots), hand fine-16 10.32 (529,408), auto-DP (112,128,144,160)
+10.27 (531,456; 90.9% occupancy) — the planner matches the best
+hand-tuned geometry and became the default (bucket_policy="auto").
 """
 
 import json

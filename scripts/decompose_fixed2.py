@@ -1,6 +1,16 @@
 #!/usr/bin/env python
 """Attribute the per-pass FIXED cost by in-engine ablation.
 
+Measured (v5e, flagship shape, inner=1, 16-pass scan, 2026-08-18):
+full 5.48-5.61 ms/pass; deltas — dense_sstats +0.83/+0.95, gamma
+assembly +0.11/+0.13, whole fixed point (gather+loop+1 sweep) +1.08,
+beta/theta ELBO and the K x V transcendentals ~0 (XLA overlaps them on
+the VPU).  The unattributed remainder decomposed as (a) ~1.9 ms/pass of
+tunnel dispatch tax at n=16 (amortised by benching at n=64) and (b) a
+full EXTRA iteration per learning_many recomputing export gammas
+(removed — .gamma is lazy now).
+
+
 decompose_pass.py splits the pass into slope (ms/sweep) and intercept
 (~5.5 ms at the flagship shape under the planned geometry).  This
 script attributes the intercept by monkeypatching individual phases of
