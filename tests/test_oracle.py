@@ -128,3 +128,65 @@ def test_vb_topic_recovery():
     best = overlaps.max(axis=1)
     assert (best >= 4).all(), best
     assert best.mean() >= 6.5, best
+
+
+def test_oracle_hybrid_tracks_vb_quality():
+    """OracleHybrid (Mimno 2012, f64 per-token loops): its held-out
+    perplexity after a few iterations must land near OracleVB's on the
+    same corpus — the sampled local step targets the same posterior
+    (statistical gate; RNG parity is impossible)."""
+    import numpy as np
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.oracle import OracleHybrid, OracleVB
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=120, num_topics=4, num_types=120,
+        mean_doc_length=40.0, seed=6,
+    )
+    train = corpus.subset(range(100))
+    test = corpus.subset(range(100, 120))
+
+    vb = OracleVB(train, num_topics=4, alpha=0.25, eta=1.0 / 120, seed=0)
+    hy = OracleHybrid(train, num_topics=4, alpha=0.25, eta=1.0 / 120,
+                      seed=0, number_of_samples=8, burn_in_sweeps=3)
+    for _ in range(12):
+        vb.learning()
+        hy.learning()
+    p_vb, p_hy = vb.perplexity(test), hy.perplexity(test)
+    assert np.isfinite(p_hy)
+    assert p_hy < 1.25 * p_vb  # same basin-quality regime
+
+
+def test_engine_hybrid_matches_oracle_hybrid():
+    """Statistical parity: the batched TPU hybrid engine and the f64
+    per-token oracle hybrid reach comparable held-out perplexity."""
+    import numpy as np
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import Hybrid
+    from pylda_tpu.oracle import OracleHybrid
+    from pylda_tpu.utils.config import LDAConfig
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=120, num_topics=4, num_types=120,
+        mean_doc_length=40.0, seed=6,
+    )
+    train = corpus.subset(range(100))
+    test = corpus.subset(range(100, 120))
+
+    eng = Hybrid(LDAConfig(
+        number_of_topics=4, inference_mode="hybrid", seed=0,
+        number_of_samples=8, burn_in_sweeps=3, alpha_alpha=0.25,
+    ))
+    eng.initialize(train)
+    eng.learning_many(12)
+
+    ora = OracleHybrid(train, num_topics=4, alpha=0.25, eta=1.0 / 120,
+                       seed=0, number_of_samples=8, burn_in_sweeps=3)
+    for _ in range(12):
+        ora.learning()
+
+    p_eng, p_ora = eng.perplexity(test), ora.perplexity(test)
+    assert np.isfinite(p_eng) and np.isfinite(p_ora)
+    assert abs(p_eng - p_ora) / p_ora < 0.15
