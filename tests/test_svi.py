@@ -194,3 +194,39 @@ def test_streaming_corpus_holds_no_documents(corpus, tmp_path):
     assert not hasattr(stream, "docs")
     # RAM-resident index = one int64 offset per document (+1).
     assert stream._offsets.nbytes == 8 * (corpus.num_docs + 1)
+
+
+def test_engine_svi_matches_oracle_svi():
+    """Statistical parity for the SVI update rule: the fused-epoch TPU
+    engine and the float64 per-document oracle reach comparable held-out
+    perplexity from the same schedule (tau0, kappa, batch size)."""
+    import numpy as np
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import StochasticVariationalBayes
+    from pylda_tpu.oracle import OracleSVI
+    from pylda_tpu.utils.config import LDAConfig
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=240, num_topics=4, num_types=150,
+        mean_doc_length=35.0, seed=8,
+    )
+    train = corpus.subset(range(200))
+    test = corpus.subset(range(200, 240))
+
+    eng = StochasticVariationalBayes(LDAConfig(
+        number_of_topics=4, inference_mode="svi", seed=0,
+        batch_size=50, tau0=16.0, kappa=0.7, alpha_alpha=0.25,
+    ))
+    eng.initialize(train)
+    for _ in range(8):
+        eng.learning()
+
+    ora = OracleSVI(train, num_topics=4, alpha=0.25, eta=1.0 / 150,
+                    seed=0, batch_size=50, tau0=16.0, kappa=0.7)
+    for _ in range(8):
+        ora.learning()
+
+    p_eng, p_ora = eng.perplexity(test), ora.perplexity(test)
+    assert np.isfinite(p_eng) and np.isfinite(p_ora)
+    assert abs(p_eng - p_ora) / p_ora < 0.15
