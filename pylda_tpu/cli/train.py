@@ -86,11 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sstats_dense_total_budget_mb", type=int, default=4096,
                    help="HBM budget for the dense sstats counts matrix; "
                         "above it 'auto' falls back to scatter")
-    p.add_argument("--sstats_kernel", default="xla",
-                   choices=["xla", "pallas"],
+    p.add_argument("--sstats_kernel", default="auto",
+                   choices=["auto", "xla", "pallas"],
                    help="dense-sstats backend: 'pallas' fuses the "
                         "phinorm->ratio->sstats chain in VMEM "
-                        "(ops/pallas_sstats.py)")
+                        "(ops/pallas_sstats.py); 'auto' = pallas on "
+                        "TPU, xla on CPU")
     p.add_argument("--mesh", default=None,
                    help="data,model mesh shape, e.g. 8,1 or 4,2")
     p.add_argument("--shard_vocab", action="store_true")

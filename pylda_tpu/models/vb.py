@@ -324,7 +324,7 @@ class VariationalBayes(Inferencer):
         et_docs = exp_dirichlet_expectation(gamma_docs)
         sstats = None
         token_score = jnp.zeros((), dtype=self._dtype)
-        if cfg.sstats_kernel == "pallas":
+        if cfg.resolved_sstats_kernel(jax.default_backend()) == "pallas":
             from pylda_tpu.ops.pallas_sstats import pallas_dense_sstats
 
             sstats_fn = functools.partial(

@@ -114,8 +114,19 @@ class LDAConfig:
     # (sstats_mode="auto" path): "xla" = ops/estep.estep_dense_sstats
     # (two MXU matmuls through a materialised [D, V] phinorm), "pallas" =
     # ops/pallas_sstats.pallas_dense_sstats (phinorm tiled through VMEM,
-    # never written to HBM).  Same reduction either way; parity-tested.
-    sstats_kernel: str = "xla"
+    # never written to HBM).  Same reduction either way (exact on-chip
+    # parity, scripts/sstats_kernel_ab.py); "auto" resolves to pallas on
+    # a TPU backend and xla elsewhere (interpret-mode Pallas on CPU is
+    # correct but slow).  Measured in-engine at the flagship shape:
+    # 9.60 ms/pass pallas vs 10.06 xla (+4.6%).
+    sstats_kernel: str = "auto"
+
+    def resolved_sstats_kernel(self, backend: str) -> str:
+        """Concrete kernel for sstats_mode="auto" dense sufficient
+        statistics on the given jax.default_backend()."""
+        if self.sstats_kernel != "auto":
+            return self.sstats_kernel
+        return "xla" if backend == "cpu" else "pallas"
 
     # ----- kernels -----
     # "never" | "always": route dense-batch E-steps through the fused
@@ -189,7 +200,7 @@ class LDAConfig:
             raise ValueError(f"unknown use_pallas: {self.use_pallas}")
         if self.sstats_mode not in ("auto", "scatter"):
             raise ValueError(f"unknown sstats_mode: {self.sstats_mode}")
-        if self.sstats_kernel not in ("xla", "pallas"):
+        if self.sstats_kernel not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown sstats_kernel: {self.sstats_kernel}")
         if self.bucket_policy not in ("auto", "fixed"):
             raise ValueError(f"unknown bucket_policy: {self.bucket_policy}")

@@ -17,6 +17,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, Optional
 
+import jax
+
 
 @dataclass
 class ChipPeaks:
@@ -94,7 +96,9 @@ def estep_cost_model(
         # XLA path round-trips phinorm (write + 2 reads); the Pallas
         # kernel (sstats_kernel="pallas") keeps it in VMEM.
         phinorm_traffic = (
-            0 if cfg.sstats_kernel == "pallas" else 3 * rows * V * 4
+            0
+            if cfg.resolved_sstats_kernel(jax.default_backend()) == "pallas"
+            else 3 * rows * V * 4
         )
         bytes_ = c_bytes + phinorm_traffic
         out["sstats"] = {

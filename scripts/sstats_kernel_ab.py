@@ -6,6 +6,18 @@ Standalone phase timing uses the input-perturbation scan chain (the
 measured impossible 0.005 ms results; perturbing an INPUT per iteration
 is the proven pattern from scripts/sstats_variants.py).  The in-engine
 number is the decider (CLAUDE.md: standalone wins are not predictive).
+
+MEASURED 2026-08-18 (TPU v5e, D=4096 V=10k K=100):
+  standalone  xla f32 0.832 ms | pallas f32 auto 0.830 / (512,512)
+  0.852 / (512,1024) 0.845 | xla bf16 0.854 | pallas bf16 auto 0.811 /
+  (512,512) 0.812 / (512,1024) 0.778 ms.  On-chip parity EXACT
+  (max rel 0.0).
+  in-engine   xla 10.056 ms/pass (407.3k docs/s) | pallas 9.596 ms/pass
+  (426.8k docs/s) -> +4.6% end-to-end.  Default flipped to
+  sstats_kernel="auto" (pallas on TPU) on this evidence.
+  First-call Mosaic warmup re-checked in a fresh process: 0.9 s with a
+  warm .jax_cache — the ~80 s session-4 warmup was remote-helper-side
+  state, not per-process.
 """
 
 import time

@@ -94,6 +94,21 @@ def test_engine_kernel_flag_matches_xla():
     np.testing.assert_allclose(e_pallas, e_xla, rtol=1e-5)
 
 
+def test_auto_kernel_resolution():
+    """Default sstats_kernel='auto' = pallas on TPU, xla on CPU (the
+    decision measured by scripts/sstats_kernel_ab.py: +4.6% in-engine on
+    v5e; interpret-mode Pallas would slow the CPU test platform)."""
+    from pylda_tpu.utils.config import LDAConfig
+
+    cfg = LDAConfig(number_of_topics=4).validate()
+    assert cfg.sstats_kernel == "auto"
+    assert cfg.resolved_sstats_kernel("cpu") == "xla"
+    assert cfg.resolved_sstats_kernel("tpu") == "pallas"
+    assert cfg.resolved_sstats_kernel("axon") == "pallas"
+    forced = LDAConfig(number_of_topics=4, sstats_kernel="xla")
+    assert forced.resolved_sstats_kernel("tpu") == "xla"
+
+
 def test_bf16_counts_storage_and_compute():
     counts, et, eeb = _case(128, 512, 16, seed=0,
                             counts_dtype=jnp.bfloat16)
