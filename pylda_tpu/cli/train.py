@@ -92,6 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "phinorm->ratio->sstats chain in VMEM "
                         "(ops/pallas_sstats.py); 'auto' = pallas on "
                         "TPU, xla on CPU")
+    p.add_argument("--topic_sampler", default="cdf",
+                   choices=["cdf", "gumbel"],
+                   help="batched categorical draw in the Gibbs/hybrid "
+                        "position scan: 'cdf' = probability-domain "
+                        "inverse-CDF (one uniform per token, no "
+                        "per-position transcendentals); 'gumbel' = "
+                        "log-domain categorical (original)")
     p.add_argument("--mesh", default=None,
                    help="data,model mesh shape, e.g. 8,1 or 4,2")
     p.add_argument("--shard_vocab", action="store_true")
@@ -182,6 +189,7 @@ def config_from_args(args) -> LDAConfig:
         sstats_mode=args.sstats_mode,
         sstats_dense_total_budget_mb=args.sstats_dense_total_budget_mb,
         sstats_kernel=args.sstats_kernel,
+        topic_sampler=args.topic_sampler,
         mesh_shape=(
             tuple(int(x) for x in args.mesh.split(",")) if args.mesh else None
         ),

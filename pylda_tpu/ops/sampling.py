@@ -28,7 +28,10 @@ import jax.numpy as jnp
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_topics", "num_types", "burn_in", "num_samples")
+    jax.jit,
+    static_argnames=(
+        "num_topics", "num_types", "burn_in", "num_samples", "sampler"
+    ),
 )
 def sample_doc_topics(
     tokens: jnp.ndarray,  # [D, L] int32 token ids (0 on padding)
@@ -41,12 +44,26 @@ def sample_doc_topics(
     num_types: int,
     burn_in: int = 5,
     num_samples: int = 10,
+    sampler: str = "cdf",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run burn_in + num_samples sweeps; average stats over kept sweeps.
 
     Returns (gamma_bar [D, K], sstats [K, V], z_final [D, L],
     ndk_final [D, K]) where gamma_bar = alpha + mean_kept(n_dk) and
     sstats[k, v] = mean_kept(#{tokens w=v assigned to k}).
+
+    ``sampler`` picks the batched categorical draw (same distribution,
+    different random stream — parity is statistical either way):
+
+    - ``"cdf"`` (default): inverse-CDF in probability domain.
+      p = (n_dk + alpha) * phi[:, w] needs no transcendentals, and the
+      whole sweep's randomness is ONE [L, D] uniform tensor generated
+      up front — the gumbel path burns a [D, K] threefry draw plus two
+      transcendental passes per position, which decomposition measured
+      as the dominant sweep cost (scripts/gibbs_decompose.py).  phi is
+      per-word max-normalised so f32 exp cannot underflow a column.
+    - ``"gumbel"``: log-domain jax.random.categorical per position
+      (the original formulation; kept for A/B and as a fallback).
     """
     D, L = tokens.shape
     K = num_topics
@@ -56,12 +73,78 @@ def sample_doc_topics(
     tok_c = tokens.T  # [L, D]
     mask_c = token_mask.T  # [L, D]
 
+    if sampler in ("cdf", "race"):
+        # Per-word max-normalised probability-domain factor: a constant
+        # per-column scale leaves the categorical unchanged but keeps
+        # exp() representable in f32 even for hybrid's E[log beta].
+        tw = jnp.exp(
+            log_topic_word - log_topic_word.max(axis=0, keepdims=True)
+        )  # [K, V]
+    if sampler == "cdf":
+        # Inclusive prefix-sum as one MXU matmul: jnp.cumsum along the
+        # lane (K) axis lowers to a shift cascade with relayouts that
+        # measured SLOWER than the gumbel RNG it replaced; p @ tri is a
+        # single [D,K]x[K,K] pass.
+        tri = jnp.triu(jnp.ones((K, K), dtype=dtype))  # tri[k, j]=1, k<=j
+
     def ndk_of(z):
         return (jax.nn.one_hot(z, K, dtype=dtype) * token_mask[:, :, None]).sum(
             axis=1
         )
 
     def one_sweep(z, ndk, sweep_key):
+        if sampler == "cdf":
+            # One batched RNG call for the entire sweep: [L, D] uniforms
+            # vs one [D, K] threefry draw per position under gumbel.
+            u = jax.random.uniform(sweep_key, (L, D), dtype=dtype)
+
+            def pos_step(carry, xs):
+                ndk = carry
+                z_t, w_t, m_t, u_t = xs  # [D], [D], [D], [D]
+                hot_old = jax.nn.one_hot(z_t, K, dtype=dtype) * m_t[:, None]
+                ndk = ndk - hot_old
+                p = (ndk + alpha[None, :]) * tw.T[w_t]  # [D, K]
+                c = jnp.dot(p, tri, precision=jax.lax.Precision.HIGHEST)
+                r = u_t[:, None] * c[:, -1:]
+                z_new = jnp.minimum(
+                    (c < r).sum(axis=-1), K - 1
+                ).astype(z_t.dtype)
+                z_new = jnp.where(m_t > 0, z_new, z_t)
+                ndk = ndk + jax.nn.one_hot(z_new, K, dtype=dtype) * m_t[:, None]
+                return ndk, z_new
+
+            ndk, z_cols = jax.lax.scan(
+                pos_step, ndk, (z_c(z), tok_c, mask_c, u)
+            )
+            return z_cols.T, ndk
+
+        if sampler == "race":
+            # Exponential races: z = argmax_k p_k / E_k with E ~ Exp(1)
+            # samples the categorical.  All the sweep's noise is ONE
+            # batched draw + one batched transcendental pass; the
+            # position step is pure mul/argmax.
+            u = jax.random.uniform(
+                sweep_key, (L, D, K), dtype=dtype,
+                minval=jnp.finfo(dtype).tiny, maxval=1.0,
+            )
+            inv_e = -1.0 / jnp.log(u)  # 1/Exp(1) > 0
+
+            def pos_step(carry, xs):
+                ndk = carry
+                z_t, w_t, m_t, e_t = xs  # [D], [D], [D], [D, K]
+                hot_old = jax.nn.one_hot(z_t, K, dtype=dtype) * m_t[:, None]
+                ndk = ndk - hot_old
+                p = (ndk + alpha[None, :]) * tw.T[w_t]  # [D, K]
+                z_new = jnp.argmax(p * e_t, axis=-1).astype(z_t.dtype)
+                z_new = jnp.where(m_t > 0, z_new, z_t)
+                ndk = ndk + jax.nn.one_hot(z_new, K, dtype=dtype) * m_t[:, None]
+                return ndk, z_new
+
+            ndk, z_cols = jax.lax.scan(
+                pos_step, ndk, (z_c(z), tok_c, mask_c, inv_e)
+            )
+            return z_cols.T, ndk
+
         keys = jax.random.split(sweep_key, L)
 
         def pos_step(carry, xs):

@@ -65,6 +65,15 @@ class LDAConfig:
     number_of_samples: int = 10  # kept sweeps averaged into phi-stats (hybrid)
     burn_in_sweeps: int = 5
 
+    # Batched categorical draw inside the within-doc position scan
+    # (ops/sampling.sample_doc_topics): "cdf" = probability-domain
+    # inverse-CDF (one [L, D] uniform tensor per sweep, no per-position
+    # transcendentals — the position scan is the measured Gibbs sweep
+    # bottleneck, scripts/gibbs_decompose.py); "gumbel" = log-domain
+    # jax.random.categorical per position (original formulation, kept
+    # for A/B).  Same distribution, different random stream.
+    topic_sampler: str = "cdf"
+
     # ----- Wallach slice sampler (Gibbs hyperopt; SURVEY.md section 8.2) ---
     slice_samples: int = 5
     slice_step: float = 3.0
@@ -202,6 +211,8 @@ class LDAConfig:
             raise ValueError(f"unknown sstats_mode: {self.sstats_mode}")
         if self.sstats_kernel not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown sstats_kernel: {self.sstats_kernel}")
+        if self.topic_sampler not in ("cdf", "gumbel", "race"):
+            raise ValueError(f"unknown topic_sampler: {self.topic_sampler}")
         if self.bucket_policy not in ("auto", "fixed"):
             raise ValueError(f"unknown bucket_policy: {self.bucket_policy}")
         if not self.bucket_sizes or any(b <= 0 for b in self.bucket_sizes):
