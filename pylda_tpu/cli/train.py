@@ -92,13 +92,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "phinorm->ratio->sstats chain in VMEM "
                         "(ops/pallas_sstats.py); 'auto' = pallas on "
                         "TPU, xla on CPU")
-    p.add_argument("--topic_sampler", default="cdf",
-                   choices=["cdf", "gumbel"],
+    p.add_argument("--topic_sampler", default="auto",
+                   choices=["auto", "cdf", "gumbel", "race"],
                    help="batched categorical draw in the Gibbs/hybrid "
-                        "position scan: 'cdf' = probability-domain "
-                        "inverse-CDF (one uniform per token, no "
-                        "per-position transcendentals); 'gumbel' = "
-                        "log-domain categorical (original)")
+                        "position scan: 'auto' picks by K (inverse-CDF "
+                        "below the measured K~400 crossover, "
+                        "exponential races above it — "
+                        "scripts/sampler_ab.py); 'cdf', 'gumbel' "
+                        "(log-domain categorical, original), 'race' "
+                        "force one")
     p.add_argument("--mesh", default=None,
                    help="data,model mesh shape, e.g. 8,1 or 4,2")
     p.add_argument("--shard_vocab", action="store_true")

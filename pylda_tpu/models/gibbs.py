@@ -159,7 +159,7 @@ class MonteCarlo(Inferencer):
                 b.tokens, b.token_mask, log_tw, alpha, z,
                 jax.random.fold_in(key, i),
                 num_topics=K, num_types=V, burn_in=0, num_samples=1,
-                sampler=cfg.topic_sampler,
+                sampler=cfg.resolved_topic_sampler(),
             )
             z_out.append(z_new)
             ndk_out.append(ndk)
@@ -394,7 +394,7 @@ class MonteCarlo(Inferencer):
                 num_types=V,
                 burn_in=cfg.burn_in_sweeps,
                 num_samples=cfg.number_of_samples,
-                sampler=cfg.topic_sampler,
+                sampler=cfg.resolved_topic_sampler(),
             )
             theta_hat = gamma_b / gamma_b.sum(axis=1, keepdims=True)
             ll += float(

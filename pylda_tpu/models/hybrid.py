@@ -110,7 +110,7 @@ class Hybrid(VariationalBayes):
                 num_types=V,
                 burn_in=cfg.burn_in_sweeps,
                 num_samples=cfg.number_of_samples,
-                sampler=cfg.topic_sampler,
+                sampler=cfg.resolved_topic_sampler(),
             )
             elog_theta = dirichlet_expectation(gamma_b)
             token_score = token_score + sequence_token_score(

@@ -110,6 +110,7 @@ def plan_bucket_sizes(
     row_pad: int = 64,
     bucket_overhead_slots: int = 4096,
     minibatch_fraction: Optional[float] = None,
+    width_rows: Optional[dict] = None,
 ) -> tuple:
     """Corpus-adaptive ragged bucket geometry: DP that minimises total
     device slots (rows x bucket width, padding included).
@@ -134,17 +135,23 @@ def plan_bucket_sizes(
       so each contributes ceil(u/cap) rows of width cap here.
     - Returns a sorted tuple of bucket widths (largest == the max needed),
       usable directly as ``LDAConfig.bucket_sizes``.
+    - ``width_rows``: precomputed {aligned width: row count} replacing the
+      ``unique_counts`` walk — the multi-host negotiation allgather-sums
+      per-host histograms and plans from the GLOBAL one
+      (``aligned_width_histogram`` builds the per-host vector).
     """
-    rows: dict = {}
-    for u in unique_counts:
-        u = int(u)
-        if u <= 0:
-            continue
-        if u > cap:
-            rows[cap] = rows.get(cap, 0) + -(-u // cap)
-        else:
-            w = _round_up(u, align)
-            rows[w] = rows.get(w, 0) + 1
+    rows: dict = dict(width_rows) if width_rows is not None else {}
+    if width_rows is None:
+        for u in unique_counts:
+            u = int(u)
+            if u <= 0:
+                continue
+            if u > cap:
+                rows[cap] = rows.get(cap, 0) + -(-u // cap)
+            else:
+                w = _round_up(u, align)
+                rows[w] = rows.get(w, 0) + 1
+    rows = {w: r for w, r in rows.items() if r > 0}
     if not rows:
         return (align,)
     widths = sorted(rows)  # candidate edges (aligned)
@@ -194,6 +201,38 @@ def plan_bucket_sizes(
         edges.append(widths[j - 1])
         j, b = i, b - 1
     return tuple(sorted(edges))
+
+
+def unique_counts_of(corpus: Corpus) -> Optional[np.ndarray]:
+    """Per-document unique-type counts, from whichever representation the
+    corpus keeps (in-RAM ``_uniques`` or the streaming indexing pass's
+    ``_unique_counts``); None when unavailable."""
+    uniques = getattr(corpus, "_uniques", None)
+    if uniques is not None:
+        return np.asarray([ids.size for ids, _ in uniques], dtype=np.int64)
+    counts = getattr(corpus, "_unique_counts", None)
+    if counts is None:
+        return None
+    return np.asarray(counts, dtype=np.int64)
+
+
+def aligned_width_histogram(
+    unique_counts: np.ndarray, align: int = 16, cap: int = 2048
+) -> np.ndarray:
+    """Fixed-length [cap // align] row-count vector over aligned widths
+    (bin i = width (i+1)*align; oversized docs contribute ceil(u/cap)
+    rows to the last bin).  A fixed bin set makes the vector
+    allgather-able across hosts for global geometry planning."""
+    u = np.asarray(unique_counts, dtype=np.int64)
+    u = u[u > 0]
+    n_bins = cap // align
+    out = np.zeros((n_bins,), dtype=np.int64)
+    small = u[u <= cap]
+    bins = (small + align - 1) // align - 1
+    np.add.at(out, bins, 1)
+    big = u[u > cap]
+    out[-1] += int((-(-big // cap)).sum())
+    return out
 
 
 def effective_bucket_sizes(
@@ -267,23 +306,53 @@ def effective_sequence_bucket_sizes(corpus: Corpus, config: LDAConfig) -> tuple:
     return cache[key]
 
 
+def svi_capacities_from_expected(
+    sizes: Sequence[int], expected: dict, pad: int
+) -> Optional[dict]:
+    """Capacity plan (bucket size -> fixed row capacity) from EXPECTED
+    per-minibatch row counts per bucket.
+
+    Capacity per bucket covers the hypergeometric row-count fluctuation
+    at +4 sigma (overflow probability ~3e-5 per bucket per batch).
+    Buckets whose expected minibatch rows are below half a pad-multiple
+    are dropped from the geometry — their rare documents promote into
+    the next larger bucket rather than dragging a mostly-padding bucket
+    through every minibatch.  The largest size with any expected mass is
+    always kept (documents must have somewhere to go).
+
+    Deterministic in ``(sizes, expected, pad)`` — the multi-host
+    negotiation (``parallel.mesh.negotiate_svi_ragged_geometry``) relies
+    on every host computing IDENTICAL capacities from the allgathered
+    expected-rows vector."""
+    sizes = sorted(sizes)
+    top = max((s for s in sizes if expected.get(s, 0) > 0), default=sizes[0])
+    caps = {}
+    carry = 0.0  # expected rows of dropped buckets promote upward
+    for s in sizes:
+        if s > top:
+            break
+        e = float(expected.get(s, 0)) + carry
+        if s < top and e < pad / 2:
+            carry = e
+            continue
+        carry = 0.0
+        caps[s] = _round_up(int(np.ceil(e + 4.0 * np.sqrt(max(e, 1.0)))), pad)
+    return caps or None
+
+
 def plan_svi_ragged_geometry(
     corpus: Corpus, config: LDAConfig, batch_size: int
 ) -> Optional[dict]:
     """Capacity plan (bucket size -> fixed row capacity) for shape-stable
-    SVI minibatches on the ragged layout.
+    SVI minibatches on the ragged layout (single-process corpora; the
+    multi-host negotiated variant is
+    ``parallel.mesh.negotiate_svi_ragged_geometry``).
 
     Random minibatches natively produce different bucket shape sets, and
     on TPU every new shape set recompiles the minibatch step — measured
     ~166 s/epoch at K=1000, V=100k vs sub-second once shapes are fixed.
-    Capacity per bucket covers the hypergeometric row-count fluctuation
-    of a batch_size draw at +4 sigma (overflow probability ~3e-5 per
-    bucket per batch; overflow falls back to per-batch shapes via
-    ``GeometryOverflow``).  Buckets whose EXPECTED minibatch rows are
-    below half a pad-multiple are dropped from the geometry — their rare
-    documents promote into the next larger bucket rather than dragging a
-    mostly-padding bucket through every minibatch.  The largest native
-    size is always kept (documents must have somewhere to go)."""
+    Overflow beyond the +4 sigma capacities falls back to per-batch
+    shapes via ``GeometryOverflow``."""
     pad = config.doc_pad_multiple
     D = corpus.num_docs
     if D == 0 or batch_size <= 0:
@@ -295,19 +364,9 @@ def plan_svi_ragged_geometry(
     # per bucket per batch.
     sizes = sorted(effective_bucket_sizes(corpus, config, minibatch_fraction=f))
     hist = corpus.ragged_row_histogram(sizes)
-    top = max((s for s in sizes if hist[s] > 0), default=sizes[0])
-    caps = {}
-    carry = 0.0  # expected rows of dropped buckets promote upward
-    for s in sizes:
-        if s > top:
-            break
-        e = hist[s] * f + carry
-        if s < top and e < pad / 2:
-            carry = e
-            continue
-        carry = 0.0
-        caps[s] = _round_up(int(np.ceil(e + 4.0 * np.sqrt(max(e, 1.0)))), pad)
-    return caps or None
+    return svi_capacities_from_expected(
+        sizes, {s: hist[s] * f for s in sizes}, pad
+    )
 
 
 def assemble_gamma(

@@ -34,7 +34,7 @@ multi-bucket) epochs fall back to one dispatch per minibatch.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,32 +69,48 @@ class StochasticVariationalBayes(VariationalBayes):
         # corpus statistics makes every minibatch emit IDENTICAL shapes,
         # so the whole epoch fuses into one lax.scan compiled once ever.
         self._svi_geometry = None
-        if corpus.num_types > self._config.dense_vocab_threshold:
+        proc_local = (
+            getattr(corpus, "process_local", False)
+            and jax.process_count() > 1
+        )
+        ragged = corpus.num_types > self._config.dense_vocab_threshold
+        if ragged and not proc_local:
             plan_fn = getattr(corpus, "ragged_row_histogram", None)
-            if plan_fn is not None and not getattr(
-                corpus, "process_local", False
-            ):
+            if plan_fn is not None:
                 self._svi_geometry = layouts.plan_svi_ragged_geometry(
                     corpus, self._config, self._config.batch_size
                 )
         self._t = getattr(self, "_t", 0)  # global minibatch counter
         self._jit_minibatch = jax.jit(self._minibatch_step)
         self._jit_epoch_scan = jax.jit(self._epoch_scan)
-        if (
-            getattr(corpus, "process_local", False)
-            and jax.process_count() > 1
-        ):
+        if proc_local:
             if self._mesh is None:
                 raise ValueError(
                     "a process-sharded corpus requires a mesh (--mesh); "
                     "each host holds only its doc block, so training "
                     "without the global sharding would silently diverge"
                 )
-            if corpus.num_types > self._config.dense_vocab_threshold:
-                raise NotImplementedError(
-                    "process-sharded SVI currently requires the dense "
-                    "layout (vocabulary <= dense_vocab_threshold)"
+            if ragged:
+                # BASELINE config 5: every host streams only its own doc
+                # block at V > dense threshold.  The fused epoch scan
+                # needs identical bucket shapes on every host — negotiate
+                # one fixed capacity geometry across hosts.
+                from pylda_tpu.parallel.mesh import (
+                    negotiate_svi_ragged_geometry,
                 )
+
+                P = jax.process_count()
+                b_local = -(-self._config.batch_size // P)
+                self._svi_geometry = negotiate_svi_ragged_geometry(
+                    corpus, self._config, b_local
+                )
+                if self._svi_geometry is None:
+                    raise NotImplementedError(
+                        "process-sharded ragged SVI requires per-doc "
+                        "unique counts on the corpus (Corpus or "
+                        "StreamingCorpus) to negotiate a fixed bucket "
+                        "geometry across hosts"
+                    )
 
     # -- one minibatch update (traced) ---------------------------------------------
 
@@ -188,15 +204,24 @@ class StochasticVariationalBayes(VariationalBayes):
 
     def _process_local_epoch(self, epoch_seed: int):
         """Minibatches over a process-local corpus: every host
-        contributes ``b_local`` document rows per global minibatch from
-        its own contiguous block (BASELINE config 5 —
+        contributes ``b_local`` documents per global minibatch from its
+        own contiguous block (BASELINE config 5 —
         "Doc-sharded SVI ... multi-host pod slice").
 
         Per-host permutations use deterministic seeds (epoch_seed, p),
         so every host can reconstruct every other host's document order
         WITHOUT communication — that is what makes the global per-batch
         document counts (hence the D/|B_t| scale and the rho_t schedule)
-        and the global gamma row->doc mapping agree across hosts."""
+        agree across hosts.
+
+        Dense layout: one [b_local, V] block per host, lifted to a
+        global [P*b_local, V] batch.  Ragged layout (V > threshold —
+        the literal config-5 shape): each host packs its documents into
+        the NEGOTIATED fixed capacity geometry (``_prepare``), so every
+        host emits identical bucket shapes and the epoch fuses into one
+        sharded lax.scan; the row->doc map is read back from the lifted
+        device doc_ids (host p cannot reconstruct host q's bucket
+        packing without q's unique counts)."""
         cfg = self._config
         corpus = self._corpus
         P = jax.process_count()
@@ -208,8 +233,16 @@ class StochasticVariationalBayes(VariationalBayes):
             raise ValueError(
                 f"data axis ({S}) must be a multiple of process count ({P})"
             )
-        rows_per_proc = S // P
-        b_local = round_up(-(-cfg.batch_size // P), rows_per_proc)
+        dense = corpus.num_types <= cfg.dense_vocab_threshold
+        if dense:
+            rows_per_proc = S // P
+            b_local = round_up(-(-cfg.batch_size // P), rows_per_proc)
+        else:
+            # Ragged: b_local counts selected DOCUMENTS; device-row
+            # alignment lives in the negotiated bucket capacities (each
+            # a doc_pad_multiple round-up, and doc_pad_multiple is
+            # validated divisible by the data-axis size at initialize).
+            b_local = -(-cfg.batch_size // P)
         n_batches = -(-per // b_local)
         local_counts = [
             max(0, min(per, total - p * per)) for p in range(P)
@@ -221,24 +254,30 @@ class StochasticVariationalBayes(VariationalBayes):
             for p in range(P)
         }
         batch_lists: List[List[layouts.VBBatch]] = []
-        doc_ids_lists: List[List[np.ndarray]] = []
+        doc_ids_lists: List[Optional[List[np.ndarray]]] = []
         rhos: List[float] = []
         scales: List[float] = []
         for i in range(n_batches):
             sel = perms[my][i * b_local : (i + 1) * b_local]
-            b = corpus.to_dense(doc_indices=sel, pad_docs_to=b_local)
-            doc_ids = np.where(
-                b.doc_ids >= 0, b.doc_ids + corpus.global_doc_offset, -1
-            ).astype(np.int32)
-            batch_lists.append(
-                [DenseBatch(counts=b.counts, mask=b.mask, doc_ids=doc_ids)]
-            )
-            # Global row->doc map: concatenation of every host's block.
-            gids = np.full((P, b_local), -1, dtype=np.int32)
-            for p in range(P):
-                selp = perms[p][i * b_local : (i + 1) * b_local]
-                gids[p, : len(selp)] = selp + p * per
-            doc_ids_lists.append([gids.reshape(-1)])
+            if dense:
+                b = corpus.to_dense(doc_indices=sel, pad_docs_to=b_local)
+                doc_ids = np.where(
+                    b.doc_ids >= 0, b.doc_ids + corpus.global_doc_offset, -1
+                ).astype(np.int32)
+                batch_lists.append(
+                    [DenseBatch(counts=b.counts, mask=b.mask, doc_ids=doc_ids)]
+                )
+                # Global row->doc map: concatenation of every host's block.
+                gids = np.full((P, b_local), -1, dtype=np.int32)
+                for p in range(P):
+                    selp = perms[p][i * b_local : (i + 1) * b_local]
+                    gids[p, : len(selp)] = selp + p * per
+                doc_ids_lists.append([gids.reshape(-1)])
+            else:
+                batch_lists.append(self._ragged_process_minibatch(sel))
+                # Row->doc maps come from the lifted device arrays after
+                # stacking (learning() fills these in).
+                doc_ids_lists.append(None)
             docs_in = sum(
                 min(b_local, max(0, c - i * b_local)) for c in local_counts
             )
@@ -246,6 +285,44 @@ class StochasticVariationalBayes(VariationalBayes):
             rhos.append((cfg.tau0 + self._t) ** (-cfg.kappa))
             self._t += 1
         return batch_lists, doc_ids_lists, rhos, scales, True
+
+    def _ragged_process_minibatch(self, sel) -> List[layouts.VBBatch]:
+        """This host's slice of one global ragged minibatch, packed into
+        the negotiated fixed geometry with GLOBAL doc ids."""
+        from pylda_tpu.corpus.corpus import GeometryOverflow
+
+        cfg = self._config
+        corpus = self._corpus
+        caps = self._svi_geometry
+        try:
+            buckets = corpus.to_ragged_buckets(
+                bucket_sizes=sorted(caps),
+                doc_pad_multiple=cfg.doc_pad_multiple,
+                doc_indices=sel,
+                bucket_capacities=caps,
+            )
+        except GeometryOverflow as e:
+            # Unlike the single-process path there is NO per-batch shape
+            # fallback: one host recompiling alone would deadlock the
+            # collective epoch scan.  +4-sigma capacities put one batch's
+            # overflow probability at ~3e-5 per bucket; reaching this
+            # means the corpus block is far from the negotiated
+            # statistics (e.g. the corpus changed under a resumed run).
+            raise RuntimeError(
+                "process-sharded SVI minibatch overflowed the negotiated "
+                "bucket geometry; re-initialize so the geometry is "
+                f"renegotiated ({e})"
+            ) from e
+        off = corpus.global_doc_offset
+        return [
+            type(b)(
+                ids=b.ids, cnts=b.cnts, mask=b.mask,
+                doc_ids=np.where(b.doc_ids >= 0, b.doc_ids + off, -1).astype(
+                    np.int32
+                ),
+            )
+            for b in buckets
+        ]
 
     # -- one epoch -------------------------------------------------------------------
 
@@ -269,6 +346,10 @@ class StochasticVariationalBayes(VariationalBayes):
             for bl in batch_lists
         }
         fuse = len(structs) == 1 and (proc_local or len(batch_lists) > 1)
+        # Process-local epochs MUST fuse: the fixed geometry (dense
+        # shape / negotiated capacities) guarantees one shape set, and
+        # every host has to dispatch the same collective program.
+        assert fuse or not proc_local, "process-local epoch failed to fuse"
         if fuse:
             # Uniform layout: stack the epoch host-side, place/shard the
             # stacked arrays once, run ONE scan dispatch.
@@ -284,6 +365,14 @@ class StochasticVariationalBayes(VariationalBayes):
                 stacked = [
                     shard_stacked_batch(b, self._mesh, process_local=proc_local)
                     for b in stacked
+                ]
+            if any(dl is None for dl in doc_ids_lists):
+                # Ragged process-local: the global row->doc maps are the
+                # lifted doc_ids themselves (device slices; .gamma
+                # host-gathers them lazily and collectively).
+                doc_ids_lists = [
+                    [b.doc_ids[i] for b in stacked]
+                    for i in range(len(batch_lists))
                 ]
             lam, ests, elog_sum_epoch, gammas_stacked = self._jit_epoch_scan(
                 lam, alpha, st.eta, sub, stacked,

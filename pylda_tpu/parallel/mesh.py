@@ -285,6 +285,83 @@ def lift_process_local_buckets(
     return out
 
 
+def negotiate_svi_ragged_geometry(corpus, config, b_local: int):
+    """Cross-host SVI fixed bucket geometry for PROCESS-LOCAL ragged
+    corpora (BASELINE config 5: doc-sharded SVI at V=100k, multi-host).
+
+    Every host streams only its own contiguous doc block, but the fused
+    epoch scan needs IDENTICAL minibatch bucket shapes on every host
+    (``make_array_from_process_local_data`` lifts same-shape locals).
+    Protocol, in the ``lift_process_local_buckets`` mould:
+
+    1. Bucket WIDTHS: with ``bucket_policy="auto"`` (and the default
+       ``bucket_sizes``), allgather-SUM the per-host aligned-width row
+       histograms and run the slot-minimising DP on the GLOBAL histogram
+       under the minibatch capacity cost model — every host plans from
+       identical inputs, so the widths agree.  Otherwise the configured
+       fixed widths are used (already identical).
+    2. Bucket CAPACITIES: each host's expected per-minibatch rows per
+       width is ``local_hist[w] * (b_local / local_docs)``; allgather
+       and take the elementwise MAX (capacities must cover the
+       worst-placed host), then apply the shared +4-sigma capacity
+       formula (``layouts.svi_capacities_from_expected``).
+
+    Returns {width: row capacity} or None when the corpus exposes no
+    per-doc unique counts.  Collective — call from every process."""
+    from jax.experimental import multihost_utils
+
+    from pylda_tpu.models import layouts
+    from pylda_tpu.utils.config import LDAConfig
+
+    pad = config.doc_pad_multiple
+    uc = layouts.unique_counts_of(corpus)
+    if uc is None:
+        return None
+    fixed = tuple(config.bucket_sizes)
+    cap = max(fixed)
+    P = jax.process_count()
+    use_auto = (
+        getattr(config, "bucket_policy", "fixed") == "auto"
+        and fixed == LDAConfig.__dataclass_fields__["bucket_sizes"].default
+    )
+    if use_auto:
+        align = 16
+        local_vec = layouts.aligned_width_histogram(uc, align=align, cap=cap)
+        global_vec = (
+            np.asarray(multihost_utils.process_allgather(local_vec))
+            .reshape(P, -1)
+            .sum(axis=0)
+        )
+        width_rows = {
+            align * (i + 1): int(r)
+            for i, r in enumerate(global_vec)
+            if r > 0
+        }
+        f_global = min(
+            1.0, (b_local * P) / max(1, corpus.global_num_docs)
+        )
+        sizes = layouts.plan_bucket_sizes(
+            [], cap=cap, row_pad=pad,
+            minibatch_fraction=f_global, width_rows=width_rows,
+        )
+    else:
+        sizes = fixed
+    sizes = sorted(int(s) for s in sizes)
+    hist_local = corpus.ragged_row_histogram(sizes)
+    f_local = min(1.0, b_local / corpus.num_docs) if corpus.num_docs else 0.0
+    e_local = np.asarray(
+        [hist_local[s] * f_local for s in sizes], dtype=np.float64
+    )
+    e_max = (
+        np.asarray(multihost_utils.process_allgather(e_local))
+        .reshape(P, len(sizes))
+        .max(axis=0)
+    )
+    return layouts.svi_capacities_from_expected(
+        sizes, dict(zip(sizes, e_max)), pad
+    )
+
+
 def shard_stacked_batch(batch, mesh: Mesh, process_local: bool = False):
     """Place a host batch whose fields carry a LEADING STACK AXIS
     [n, rows, ...] — an epoch of same-shape minibatches stacked for a

@@ -71,8 +71,22 @@ class LDAConfig:
     # transcendentals — the position scan is the measured Gibbs sweep
     # bottleneck, scripts/gibbs_decompose.py); "gumbel" = log-domain
     # jax.random.categorical per position (original formulation, kept
-    # for A/B).  Same distribution, different random stream.
-    topic_sampler: str = "cdf"
+    # for A/B); "race" = exponential races (one [L, D, K] draw up
+    # front, mul/argmax per position).  Same distribution, different
+    # random streams.  "auto" picks by K: the cdf prefix sum is a
+    # [D,K]x[K,K] matmul per position — O(K^2) — so it wins at small K
+    # and inverts at large K.  On-chip full-sweep A/B vs gumbel
+    # (scripts/sampler_ab.py, v5e, V=10k): K=100 cdf 1.20x / race
+    # 0.99x; K=300 cdf 1.13x / race 1.12x; K=512 cdf 0.99x / race
+    # 1.04x; K=1000 cdf 0.74x / race 1.08x.
+    topic_sampler: str = "auto"
+
+    def resolved_topic_sampler(self) -> str:
+        """Concrete sampler for topic_sampler="auto": inverse-CDF up to
+        the measured K=300-512 crossover, exponential races above it."""
+        if self.topic_sampler != "auto":
+            return self.topic_sampler
+        return "cdf" if self.number_of_topics <= 384 else "race"
 
     # ----- Wallach slice sampler (Gibbs hyperopt; SURVEY.md section 8.2) ---
     slice_samples: int = 5
@@ -211,7 +225,7 @@ class LDAConfig:
             raise ValueError(f"unknown sstats_mode: {self.sstats_mode}")
         if self.sstats_kernel not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown sstats_kernel: {self.sstats_kernel}")
-        if self.topic_sampler not in ("cdf", "gumbel", "race"):
+        if self.topic_sampler not in ("auto", "cdf", "gumbel", "race"):
             raise ValueError(f"unknown topic_sampler: {self.topic_sampler}")
         if self.bucket_policy not in ("auto", "fixed"):
             raise ValueError(f"unknown bucket_policy: {self.bucket_policy}")

@@ -11,12 +11,27 @@ sampler (ops/sampling.sample_doc_topics sampler="cdf") replaces that with
 uniform tensor per sweep.
 
 Measures in-engine full-sweep time (input-perturbation scan chain — per-
-call wall timing through the tunnel is garbage, CLAUDE.md) for both
+call wall timing through the tunnel is garbage, CLAUDE.md) for all three
 samplers, plus a joint-likelihood trajectory cross-check (different
 random streams, same distribution: trajectories must land in the same
 band).
+
+MEASURED (v5e, V=10k, 30-sweep chained scan, best of 3; 2026-08-19):
+
+  K     D     gumbel      cdf            race
+  100   4096  10.87 ms    9.05 (1.20x)   10.94 (0.99x)
+  300   4096  28.37 ms    25.04 (1.13x)  25.36 (1.12x)
+  512   4096  30.93 ms    31.30 (0.99x)  29.61 (1.04x)
+  1000  2048  30.18 ms    40.76 (0.74x)  28.06 (1.08x)
+
+The cdf prefix sum is a [D,K]x[K,K] matmul per position (O(K^2)), so it
+inverts between K=300 and K=512 — topic_sampler="auto" resolves to cdf
+at K <= 384 and race above (utils/config.resolved_topic_sampler).
+Joint-LL trajectories agreed in-band at every K (e.g. K=100 final LL
+-5551904 / -5551626 / -5550349 for gumbel/cdf/race).
 """
 
+import sys
 import time
 
 import jax
@@ -30,9 +45,13 @@ from pylda_tpu.corpus.synthetic import synthetic_corpus
 from pylda_tpu.models import MonteCarlo
 from pylda_tpu.utils.config import LDAConfig
 
-K, V = 100, 10_000
+# Usage: sampler_ab.py [K] [V] [D]
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+V = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+D = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
 corpus, _, _ = synthetic_corpus(
-    num_docs=4096, num_topics=K, num_types=V, mean_doc_length=120.0, seed=0
+    num_docs=D, num_topics=min(K, 100), num_types=V,
+    mean_doc_length=120.0, seed=0,
 )
 
 

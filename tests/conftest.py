@@ -35,3 +35,28 @@ assert jax.device_count() == 8, jax.devices()
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# Build the native C tokenizer in-place when a compiler is available
+# (~2 s, one-time): without it the native-parity tests skip and
+# StreamingCorpus's indexing pass silently loses its C fast path.  Runs
+# BEFORE any pylda_tpu import so pylda_tpu.native sees the fresh .so.
+def _ensure_native_built() -> None:
+    import glob
+    import pathlib
+    import shutil
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    if glob.glob(str(repo / "pylda_tpu" / "native" / "_fastcorpus*.so")):
+        return
+    if shutil.which("gcc") is None and shutil.which("cc") is None:
+        return
+    subprocess.run(
+        [sys.executable, "setup.py", "build_ext", "--inplace"],
+        cwd=repo, check=False, capture_output=True, timeout=300,
+    )
+
+
+_ensure_native_built()

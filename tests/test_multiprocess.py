@@ -421,6 +421,216 @@ def test_two_process_svi_matches_emulated_reference(tmp_path):
         assert abs(a - b) < 1e-3 * abs(a), (ref, got)
 
 
+_SVI_RAGGED_WORKER = textwrap.dedent("""
+import os, sys
+rank = int(sys.argv[1]); port = sys.argv[2]; corpus_dir = sys.argv[3]
+streaming = sys.argv[4] == "streaming"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=rank
+)
+import numpy as np
+from pylda_tpu.corpus.datasets import load_input_directory
+from pylda_tpu.models import StochasticVariationalBayes
+from pylda_tpu.parallel.mesh import make_mesh
+from pylda_tpu.utils.config import LDAConfig
+
+train, test, vocab = load_input_directory(
+    corpus_dir, process_index=rank, process_count=2, streaming=streaming
+)
+assert train.process_local and len(vocab) > 4096, len(vocab)
+lam0 = np.random.default_rng(9).gamma(100.0, 0.01, size=(5, len(vocab)))
+cfg = LDAConfig(
+    number_of_topics=5, inference_mode="svi", batch_size=32, tau0=16.0,
+    kappa=0.7, inner_iterations=20, doc_pad_multiple=4, seed=0,
+    gamma_init="ones", bucket_sizes=(64, 128),
+)
+eng = StochasticVariationalBayes(cfg)
+eng.initialize(train, vocab, lam_init=lam0, mesh=make_mesh(shape=(4, 1)))
+caps = ",".join(f"{k}:{v}" for k, v in sorted(eng._svi_geometry.items()))
+ests = [eng.learning() for _ in range(2)]
+lam_sum = float(np.asarray(eng.state.lam, dtype=np.float64).sum())
+gamma = eng.gamma
+gsum = float(gamma.sum())
+print(f"RESULT rank={rank} est0={ests[0]:.4f} est1={ests[1]:.4f} "
+      f"lam={lam_sum:.4f} gsum={gsum:.4f} caps={caps}", flush=True)
+""")
+
+
+def _run_svi_ragged_workers(corpus_dir, port, mode):
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _SVI_RAGGED_WORKER, str(r), port,
+             corpus_dir, mode],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for r in range(2)
+    ]
+    results = {}
+    for r, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-3000:]
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        results[r] = dict(kv.split("=") for kv in line.split()[1:])
+    return results
+
+
+def _svi_ragged_reference(corpus_dir, n_epochs=2):
+    """In-process emulation of the 2-host ragged SVI run: the SAME
+    negotiated capacities, per-host permutations, bucket packing, and
+    global row concatenation, driven through the unsharded epoch scan."""
+    import jax
+    import numpy as np
+
+    from pylda_tpu.corpus.datasets import load_input_directory
+    from pylda_tpu.models import StochasticVariationalBayes, layouts
+    from pylda_tpu.utils.config import LDAConfig
+
+    train, test, vocab = load_input_directory(corpus_dir)
+    total = train.num_docs
+    P = 2
+    per = -(-total // P)
+    b_local = 16  # ceil(batch_size=32 / P)
+    n_batches = -(-per // b_local)
+    local_counts = [max(0, min(per, total - p * per)) for p in range(P)]
+    sizes = [64, 128]
+    # Negotiated capacities: per-host expected rows, elementwise max.
+    e = np.zeros((P, len(sizes)))
+    for p in range(P):
+        sub = train.subset(range(p * per, p * per + local_counts[p]))
+        h = sub.ragged_row_histogram(sizes)
+        f = min(1.0, b_local / max(1, local_counts[p]))
+        e[p] = [h[s] * f for s in sizes]
+    caps = layouts.svi_capacities_from_expected(
+        sizes, dict(zip(sizes, e.max(axis=0))), pad=4
+    )
+
+    lam0 = np.random.default_rng(9).gamma(100.0, 0.01, size=(5, len(vocab)))
+    cfg = LDAConfig(
+        number_of_topics=5, inference_mode="svi", batch_size=32, tau0=16.0,
+        kappa=0.7, inner_iterations=20, doc_pad_multiple=4, seed=0,
+        gamma_init="ones", bucket_sizes=(64, 128),
+    )
+    eng = StochasticVariationalBayes(cfg)
+    eng.initialize(train, vocab, lam_init=lam0)
+    st = eng.state
+    t = 0
+    ests_all, gsum = [], None
+    for epoch in range(n_epochs):
+        key, sub_key = jax.random.split(st.key)
+        epoch_seed = epoch * 100003 + 0
+        perms = {
+            p: np.random.default_rng((epoch_seed, p)).permutation(
+                local_counts[p]
+            )
+            for p in range(P)
+        }
+        batch_lists, rhos, scales = [], [], []
+        for i in range(n_batches):
+            per_host = []
+            for p in range(P):
+                selp = perms[p][i * b_local : (i + 1) * b_local] + p * per
+                per_host.append(
+                    train.to_ragged_buckets(
+                        bucket_sizes=sorted(caps), doc_pad_multiple=4,
+                        doc_indices=selp, bucket_capacities=caps,
+                    )
+                )
+            # Global bucket rows = concatenation of the host blocks —
+            # exactly what make_array_from_process_local_data builds.
+            batch_lists.append(
+                [
+                    type(bs[0])(
+                        **{
+                            f: np.concatenate(
+                                [np.asarray(getattr(b, f)) for b in bs]
+                            )
+                            for f in type(bs[0]).__dataclass_fields__
+                        }
+                    )
+                    for bs in zip(*per_host)
+                ]
+            )
+            docs_in = sum(
+                min(b_local, max(0, c - i * b_local)) for c in local_counts
+            )
+            scales.append(total / max(1, docs_in))
+            rhos.append((16.0 + t) ** (-0.7))
+            t += 1
+        stacked = jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *batch_lists
+        )
+        stacked = [jax.device_put(b) for b in stacked]
+        lam_new, ests, _elog, gammas = eng._jit_epoch_scan(
+            st.lam, st.alpha, st.eta, sub_key, stacked,
+            np.asarray(rhos, np.float32), np.asarray(scales, np.float32),
+        )
+        ests_all.append(float(np.mean(np.asarray(ests, dtype=np.float64))))
+        st = st._replace(lam=lam_new, key=key)
+        gamma = layouts.assemble_gamma(
+            [
+                np.asarray(b.doc_ids[i])
+                for i in range(n_batches)
+                for b in stacked
+            ],
+            [
+                np.asarray(g[i])
+                for i in range(n_batches)
+                for g in gammas
+            ],
+            total,
+            np.asarray(st.alpha),
+        )
+        gsum = float(gamma.sum())
+    caps_str = ",".join(f"{k}:{v}" for k, v in sorted(caps.items()))
+    lam_sum = float(np.asarray(st.lam, dtype=np.float64).sum())
+    return ests_all, lam_sum, gsum, caps_str
+
+
+def test_two_process_svi_ragged_matches_emulated_reference(tmp_path):
+    """Process-sharded SVI on the RAGGED layout (BASELINE config 5's
+    literal shape: doc-sharded SVI at V > dense threshold, each host
+    streaming only its block): 2 processes negotiate one fixed bucket
+    geometry, run fused sharded epoch scans, and must agree bitwise AND
+    match an in-process emulation of the identical global minibatch
+    sequence through the unsharded epoch scan."""
+    corpus_dir = str(tmp_path / "corpus")
+    _write_synthetic_text_corpus(corpus_dir)
+
+    results = _run_svi_ragged_workers(corpus_dir, "12517", "memory")
+    assert results[0]["lam"] == results[1]["lam"], results
+    assert results[0]["gsum"] == results[1]["gsum"], results
+    assert results[0]["caps"] == results[1]["caps"], results
+
+    ref_ests, ref_lam, ref_gsum, ref_caps = _svi_ragged_reference(corpus_dir)
+    assert results[0]["caps"] == ref_caps, (results[0]["caps"], ref_caps)
+    got_lam = float(results[0]["lam"])
+    assert abs(ref_lam - got_lam) < 1e-4 * abs(ref_lam), (ref_lam, got_lam)
+    got_gsum = float(results[0]["gsum"])
+    assert abs(ref_gsum - got_gsum) < 1e-3 * abs(ref_gsum), (
+        ref_gsum, got_gsum)
+    for a, b in zip(
+        ref_ests, [float(results[0]["est0"]), float(results[0]["est1"])]
+    ):
+        assert abs(a - b) < 1e-3 * abs(a), (ref_ests, results)
+
+
+def test_two_process_svi_streaming_matches_memory(tmp_path):
+    """The StreamingCorpus process-local SVI epoch (config 5's input
+    pipeline: disk-backed offsets, documents parsed per minibatch) must
+    reproduce the in-RAM process-local run exactly — same negotiated
+    geometry, same minibatch sequence, same lambda."""
+    corpus_dir = str(tmp_path / "corpus")
+    _write_synthetic_text_corpus(corpus_dir)
+
+    mem = _run_svi_ragged_workers(corpus_dir, "12521", "memory")
+    stream = _run_svi_ragged_workers(corpus_dir, "12523", "streaming")
+    for k in ("lam", "gsum", "caps", "est0", "est1"):
+        assert mem[0][k] == stream[0][k], (k, mem, stream)
+
+
 def test_two_process_sharded_input_matches_full_load(tmp_path):
     """Each host parses only its half of doc.dat; training must match a
     single-process full-corpus run (same math, psum'd stats)."""

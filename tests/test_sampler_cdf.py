@@ -18,7 +18,7 @@ from pylda_tpu.ops.sampling import sample_doc_topics
 K, V, D = 7, 13, 40_000
 
 
-@pytest.mark.parametrize("sampler", ["cdf", "gumbel"])
+@pytest.mark.parametrize("sampler", ["cdf", "gumbel", "race"])
 def test_single_token_matches_exact_categorical(sampler):
     """D one-token docs, all the same word, ndk=0 after decrement: the
     conditional is exactly p_k = alpha_k * phi_kw / sum; the empirical
@@ -67,7 +67,56 @@ def test_cdf_extreme_log_factor_no_underflow():
     assert (z == 2).mean() > 0.95
 
 
-@pytest.mark.parametrize("sampler", ["cdf", "gumbel"])
+@pytest.mark.parametrize("sampler", ["race", "cdf"])
+def test_large_k_single_token_matches_exact_categorical(sampler):
+    """Distributional parity at a config-5-adjacent K (auto resolves to
+    race there): empirical topic histogram vs the closed-form
+    categorical, chi-square-style 4-sigma band on the head topics."""
+    K_big, D_big = 600, 60_000
+    rng = np.random.default_rng(2)
+    word = 1
+    tokens = jnp.full((D_big, 1), word, dtype=jnp.int32)
+    mask = jnp.ones((D_big, 1), dtype=jnp.float32)
+    log_tw = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(5), size=K_big)), dtype=jnp.float32
+    )
+    alpha = jnp.asarray(
+        rng.uniform(0.1, 2.0, size=K_big), dtype=jnp.float32
+    )
+    z0 = jnp.zeros((D_big, 1), dtype=jnp.int32)
+    _g, _ss, z, _ndk = sample_doc_topics(
+        tokens, mask, log_tw, alpha, z0, jax.random.PRNGKey(11),
+        num_topics=K_big, num_types=5, burn_in=0, num_samples=1,
+        sampler=sampler,
+    )
+    counts = np.bincount(np.asarray(z).ravel(), minlength=K_big)
+    p = np.asarray(alpha) * np.exp(np.asarray(log_tw))[:, word]
+    p = p / p.sum()
+    emp = counts / D_big
+    tol = 4 * np.sqrt(p * (1 - p) / D_big)
+    assert (np.abs(emp - p) < tol + 2e-4).all(), (
+        np.abs(emp - p).max(), tol.max()
+    )
+
+
+def test_auto_sampler_resolves_by_topic_count():
+    """topic_sampler="auto" picks cdf below the measured K~400 crossover
+    and race above it (scripts/sampler_ab.py table); explicit values
+    pass through untouched."""
+    from pylda_tpu.utils.config import LDAConfig
+
+    assert LDAConfig(number_of_topics=100).resolved_topic_sampler() == "cdf"
+    assert LDAConfig(number_of_topics=384).resolved_topic_sampler() == "cdf"
+    assert LDAConfig(number_of_topics=385).resolved_topic_sampler() == "race"
+    assert LDAConfig(number_of_topics=1000).resolved_topic_sampler() == "race"
+    assert (
+        LDAConfig(number_of_topics=1000, topic_sampler="gumbel")
+        .resolved_topic_sampler()
+        == "gumbel"
+    )
+
+
+@pytest.mark.parametrize("sampler", ["cdf", "gumbel", "race"])
 def test_mask_and_count_conservation(sampler):
     """Padding rows/positions never move; ndk sums stay at doc lengths."""
     rng = np.random.default_rng(1)
