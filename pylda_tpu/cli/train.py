@@ -101,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "scripts/sampler_ab.py); 'cdf', 'gumbel' "
                         "(log-domain categorical, original), 'race' "
                         "force one")
+    p.add_argument("--sampler_block_positions", type=int, default=None,
+                   help="positions sampled per within-doc scan step "
+                        "(Gibbs/hybrid): 1 = exact sequential; B > 1 = "
+                        "leave-block-out approximation, large sweep "
+                        "speedups on TPU (default: the config default)")
     p.add_argument("--mesh", default=None,
                    help="data,model mesh shape, e.g. 8,1 or 4,2")
     p.add_argument("--shard_vocab", action="store_true")
@@ -192,6 +197,11 @@ def config_from_args(args) -> LDAConfig:
         sstats_dense_total_budget_mb=args.sstats_dense_total_budget_mb,
         sstats_kernel=args.sstats_kernel,
         topic_sampler=args.topic_sampler,
+        **(
+            {"sampler_block_positions": args.sampler_block_positions}
+            if args.sampler_block_positions is not None
+            else {}
+        ),
         mesh_shape=(
             tuple(int(x) for x in args.mesh.split(",")) if args.mesh else None
         ),
@@ -380,6 +390,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         times = engine.phase_timings()
         if times:
             metrics.log(event="phase_timing", **times)
+
+    if args.roofline and hasattr(engine, "_batches"):
+        # Post-training occupancy: MEASURED per-phase times next to
+        # their roofline bounds at the converged sweep counts (the
+        # pre-training block above logged the analytic model only).
+        from pylda_tpu.utils.roofline import roofline_report
+
+        try:
+            for phase, r in roofline_report(engine).items():
+                if phase == "sweep_counts":
+                    metrics.log(event="roofline_measured",
+                                phase=phase, counts=r)
+                else:
+                    metrics.log(event="roofline_measured", phase=phase, **r)
+        except Exception as e:  # never sink a finished run on a report
+            metrics.log(event="roofline_measured_failed", error=str(e))
 
     n = config.training_iterations
     # Every host participates (collective gathers/evals); host 0 writes.

@@ -160,6 +160,7 @@ class MonteCarlo(Inferencer):
                 jax.random.fold_in(key, i),
                 num_topics=K, num_types=V, burn_in=0, num_samples=1,
                 sampler=cfg.resolved_topic_sampler(),
+                block_positions=cfg.sampler_block_positions,
             )
             z_out.append(z_new)
             ndk_out.append(ndk)
@@ -395,6 +396,7 @@ class MonteCarlo(Inferencer):
                 burn_in=cfg.burn_in_sweeps,
                 num_samples=cfg.number_of_samples,
                 sampler=cfg.resolved_topic_sampler(),
+                block_positions=cfg.sampler_block_positions,
             )
             theta_hat = gamma_b / gamma_b.sum(axis=1, keepdims=True)
             ll += float(

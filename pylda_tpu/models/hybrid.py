@@ -111,6 +111,7 @@ class Hybrid(VariationalBayes):
                 burn_in=cfg.burn_in_sweeps,
                 num_samples=cfg.number_of_samples,
                 sampler=cfg.resolved_topic_sampler(),
+                block_positions=cfg.sampler_block_positions,
             )
             elog_theta = dirichlet_expectation(gamma_b)
             token_score = token_score + sequence_token_score(

@@ -520,8 +520,16 @@ class VariationalBayes(Inferencer):
     def learning(self) -> float:
         """One batch-VB iteration: E-step, bound, M-step, hyper updates.
 
-        Returns the ELBO at (gamma*, lambda-used-in-E-step), which is
-        monotone non-decreasing across iterations (coordinate ascent)."""
+        Returns the ELBO at (gamma*, lambda-used-in-E-step).  Coordinate
+        ascent makes this monotone non-decreasing ONLY when each E-step
+        is run to convergence from a deterministic start: with the
+        default random per-iteration gamma init and a capped inner loop
+        it is monotone up to a small wobble (observed ~3e-6 relative
+        near convergence — e.g. a −0.34 absolute dip at iteration 10 on
+        the bundled quickstart).  ``gamma_init="ones"`` plus a high
+        ``inner_iterations`` recovers strict monotonicity;
+        tests/test_vb_engine.py::test_elbo_monotone pins the 1e-4
+        relative band."""
         st = self.state
         interval = self._config.hyper_parameter_optimize_interval
         update = interval > 0 and (self._counter + 1) % interval == 0

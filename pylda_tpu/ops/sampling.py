@@ -30,7 +30,8 @@ import jax.numpy as jnp
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_topics", "num_types", "burn_in", "num_samples", "sampler"
+        "num_topics", "num_types", "burn_in", "num_samples", "sampler",
+        "block_positions",
     ),
 )
 def sample_doc_topics(
@@ -45,6 +46,7 @@ def sample_doc_topics(
     burn_in: int = 5,
     num_samples: int = 10,
     sampler: str = "cdf",
+    block_positions: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run burn_in + num_samples sweeps; average stats over kept sweeps.
 
@@ -70,14 +72,38 @@ def sample_doc_topics(
       mul/argmax.  Measured ~even with gumbel at K=100 on a v5e
       (scripts/sampler_ab.py: 10.94 vs 10.87 ms/sweep) — exposed for
       A/B on other shapes.
+
+    ``block_positions`` (B): sample B consecutive positions of every
+    document per scan step from ONE shared n_dk state (all B old
+    assignments removed first — leave-block-out).  B=1 is exact
+    sequential within-doc Gibbs; B>1 is the within-document analog of
+    the AD-LDA per-sweep approximation (the position scan is
+    latency-bound on TPU — ~26 us/step at [4096, 100] per-step work —
+    so fewer, fatter steps buy large sweep speedups;
+    scripts/gibbs_block_ab.py quantifies both the speedup and the
+    joint-likelihood band agreement).  Counts stay exactly conserved
+    for any B.
     """
     D, L = tokens.shape
     K = num_topics
     dtype = log_topic_word.dtype
 
-    # Column-major views so the position scan slices its own xs.
-    tok_c = tokens.T  # [L, D]
-    mask_c = token_mask.T  # [L, D]
+    B = max(1, min(int(block_positions), L))
+    LB = -(-L // B)  # scan steps
+    Lp = LB * B
+    padL = Lp - L
+
+    def _blocks(x_dl, fill=0):
+        """[D, L] -> [LB, B, D] column blocks (inert padding)."""
+        xc = x_dl.T
+        if padL:
+            xc = jnp.pad(
+                xc, ((0, padL), (0, 0)), constant_values=fill
+            )
+        return xc.reshape(LB, B, D)
+
+    tok_c = _blocks(tokens)  # [LB, B, D]
+    mask_c = _blocks(token_mask)
 
     if sampler in ("cdf", "race"):
         # Per-word max-normalised probability-domain factor: a constant
@@ -98,25 +124,37 @@ def sample_doc_topics(
             axis=1
         )
 
+    def _unblock(z_cols):
+        """[LB, B, D] scan output -> [D, L] (padding sliced off)."""
+        return z_cols.reshape(Lp, D)[:L].T
+
+    def _remove(ndk, z_t, m_t):
+        """Leave-block-out: drop all B old assignments of the block."""
+        hot = jax.nn.one_hot(z_t, K, dtype=dtype) * m_t[..., None]
+        return ndk - hot.sum(axis=0), hot
+
+    def _insert(ndk, z_new, m_t):
+        hot = jax.nn.one_hot(z_new, K, dtype=dtype) * m_t[..., None]
+        return ndk + hot.sum(axis=0)
+
     def one_sweep(z, ndk, sweep_key):
         if sampler == "cdf":
-            # One batched RNG call for the entire sweep: [L, D] uniforms
+            # One batched RNG call for the entire sweep: [Lp, D] uniforms
             # vs one [D, K] threefry draw per position under gumbel.
             # minval=tiny keeps r = u * c_total strictly positive, so a
             # topic whose probability underflowed to exactly 0 (hybrid
             # E[log beta] on rare words can do this for topic 0) can
             # never be selected by the strict (c < r) comparison.
             u = jax.random.uniform(
-                sweep_key, (L, D), dtype=dtype,
+                sweep_key, (LB, B, D), dtype=dtype,
                 minval=jnp.finfo(dtype).tiny, maxval=1.0,
             )
 
             def pos_step(carry, xs):
                 ndk = carry
-                z_t, w_t, m_t, u_t = xs  # [D], [D], [D], [D]
-                hot_old = jax.nn.one_hot(z_t, K, dtype=dtype) * m_t[:, None]
-                ndk = ndk - hot_old
-                p = (ndk + alpha[None, :]) * tw.T[w_t]  # [D, K]
+                z_t, w_t, m_t, u_t = xs  # each [B, D] (u_t [B, D])
+                ndk, _ = _remove(ndk, z_t, m_t)
+                p = (ndk[None] + alpha[None, None, :]) * tw.T[w_t]  # [B,D,K]
                 # NOTE: each CDF entry is an independent dot product, so
                 # unlike a sequential cumsum, adjacent entries round
                 # independently and c is only monotone up to 1 ulp.  The
@@ -126,18 +164,18 @@ def sample_doc_topics(
                 # top end and the assignment error is to an adjacent,
                 # near-equal-mass boundary.
                 c = jnp.dot(p, tri, precision=jax.lax.Precision.HIGHEST)
-                r = u_t[:, None] * c[:, -1:]
+                r = u_t[..., None] * c[..., -1:]
                 z_new = jnp.minimum(
                     (c < r).sum(axis=-1), K - 1
                 ).astype(z_t.dtype)
                 z_new = jnp.where(m_t > 0, z_new, z_t)
-                ndk = ndk + jax.nn.one_hot(z_new, K, dtype=dtype) * m_t[:, None]
+                ndk = _insert(ndk, z_new, m_t)
                 return ndk, z_new
 
             ndk, z_cols = jax.lax.scan(
-                pos_step, ndk, (z_c(z), tok_c, mask_c, u)
+                pos_step, ndk, (_blocks(z), tok_c, mask_c, u)
             )
-            return z_cols.T, ndk
+            return _unblock(z_cols), ndk
 
         if sampler == "race":
             # Exponential races: z = argmax_k p_k / E_k with E ~ Exp(1)
@@ -145,45 +183,47 @@ def sample_doc_topics(
             # batched draw + one batched transcendental pass; the
             # position step is pure mul/argmax.
             u = jax.random.uniform(
-                sweep_key, (L, D, K), dtype=dtype,
+                sweep_key, (LB, B, D, K), dtype=dtype,
                 minval=jnp.finfo(dtype).tiny, maxval=1.0,
             )
             inv_e = -1.0 / jnp.log(u)  # 1/Exp(1) > 0
 
             def pos_step(carry, xs):
                 ndk = carry
-                z_t, w_t, m_t, e_t = xs  # [D], [D], [D], [D, K]
-                hot_old = jax.nn.one_hot(z_t, K, dtype=dtype) * m_t[:, None]
-                ndk = ndk - hot_old
-                p = (ndk + alpha[None, :]) * tw.T[w_t]  # [D, K]
+                z_t, w_t, m_t, e_t = xs  # [B, D] x3, [B, D, K]
+                ndk, _ = _remove(ndk, z_t, m_t)
+                p = (ndk[None] + alpha[None, None, :]) * tw.T[w_t]  # [B,D,K]
                 z_new = jnp.argmax(p * e_t, axis=-1).astype(z_t.dtype)
                 z_new = jnp.where(m_t > 0, z_new, z_t)
-                ndk = ndk + jax.nn.one_hot(z_new, K, dtype=dtype) * m_t[:, None]
+                ndk = _insert(ndk, z_new, m_t)
                 return ndk, z_new
 
             ndk, z_cols = jax.lax.scan(
-                pos_step, ndk, (z_c(z), tok_c, mask_c, inv_e)
+                pos_step, ndk, (_blocks(z), tok_c, mask_c, inv_e)
             )
-            return z_cols.T, ndk
+            return _unblock(z_cols), ndk
 
-        keys = jax.random.split(sweep_key, L)
+        keys = jax.random.split(sweep_key, LB)
 
         def pos_step(carry, xs):
             ndk = carry
-            z_t, w_t, m_t, k_t = xs  # [D], [D], [D], key
-            hot_old = jax.nn.one_hot(z_t, K, dtype=dtype) * m_t[:, None]
-            ndk = ndk - hot_old
-            logits = jnp.log(ndk + alpha[None, :]) + log_topic_word.T[w_t]
-            z_new = jax.random.categorical(k_t, logits, axis=-1)
+            z_t, w_t, m_t, k_t = xs  # [B, D] x3, key
+            ndk, _ = _remove(ndk, z_t, m_t)
+            logits = (
+                jnp.log(ndk[None] + alpha[None, None, :])
+                + log_topic_word.T[w_t]
+            )  # [B, D, K]
+            z_new = jax.random.categorical(k_t, logits, axis=-1).astype(
+                z_t.dtype
+            )
             z_new = jnp.where(m_t > 0, z_new, z_t)
-            ndk = ndk + jax.nn.one_hot(z_new, K, dtype=dtype) * m_t[:, None]
+            ndk = _insert(ndk, z_new, m_t)
             return ndk, z_new
 
-        ndk, z_cols = jax.lax.scan(pos_step, ndk, (z_c(z), tok_c, mask_c, keys))
-        return z_cols.T, ndk
-
-    def z_c(z):
-        return z.T  # [L, D]
+        ndk, z_cols = jax.lax.scan(
+            pos_step, ndk, (_blocks(z), tok_c, mask_c, keys)
+        )
+        return _unblock(z_cols), ndk
 
     def assignment_counts(z):
         """sstats contribution of one kept sweep: [K, V] counts."""

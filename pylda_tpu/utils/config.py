@@ -88,6 +88,16 @@ class LDAConfig:
             return self.topic_sampler
         return "cdf" if self.number_of_topics <= 384 else "race"
 
+    # Positions sampled per within-document scan step (Gibbs/hybrid).
+    # 1 = exact sequential within-doc Gibbs.  B > 1 samples B positions
+    # of each document from one shared n_dk (leave-block-out) — the
+    # within-document analog of the per-sweep AD-LDA approximation.
+    # Counts stay exactly conserved for any B.  Measured on the config-3
+    # shape (scripts/gibbs_block_ab.py, v5e): B=8 is 1.22x the B=1
+    # sweep with joint-LL and held-out perplexity inside the B=1 noise
+    # band (9285 vs 9326 after 40 sweeps — nominally better).
+    sampler_block_positions: int = 8
+
     # ----- Wallach slice sampler (Gibbs hyperopt; SURVEY.md section 8.2) ---
     slice_samples: int = 5
     slice_step: float = 3.0
@@ -227,6 +237,8 @@ class LDAConfig:
             raise ValueError(f"unknown sstats_kernel: {self.sstats_kernel}")
         if self.topic_sampler not in ("auto", "cdf", "gumbel", "race"):
             raise ValueError(f"unknown topic_sampler: {self.topic_sampler}")
+        if self.sampler_block_positions < 1:
+            raise ValueError("sampler_block_positions must be >= 1")
         if self.bucket_policy not in ("auto", "fixed"):
             raise ValueError(f"unknown bucket_policy: {self.bucket_policy}")
         if not self.bucket_sizes or any(b <= 0 for b in self.bucket_sizes):

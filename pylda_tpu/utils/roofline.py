@@ -25,6 +25,10 @@ class ChipPeaks:
     mxu_flops: float = 98e12  # f32 (bf16 operands double this)
     mxu_flops_bf16: float = 197e12
     hbm_bytes: float = 819e9
+    # VPU: (8, 128) lanes x 4 ALUs x FMA at ~940 MHz — the ceiling for
+    # the ragged sweep's batched per-document matvecs, which cannot tile
+    # onto the MXU (each document contracts its own [T, K] block).
+    vpu_flops: float = 7.7e12
 
     def flops(self, compute_dtype: str) -> float:
         return (
@@ -66,19 +70,32 @@ def estep_cost_model(
             dense_dv += b.counts.shape[0] * b.counts.shape[1]
 
     # -- sweeps ------------------------------------------------------------
+    itemsize = 2 if cdt == "bfloat16" else 4
     if slots:
+        # Ragged fixed point: per-DOCUMENT [T, K] matvec pairs — VPU
+        # work (no shared contraction to tile onto the MXU).  The fused
+        # engine never materialises the gathered B block (HBM reads:
+        # (ids, cnts) once + the [K, V] factor, which cache-resides), so
+        # the binding resource is VPU flops, NOT bandwidth — measured
+        # 0.131 ms/sweep over 622k slots at K=100 on the v5e flagship
+        # (CLAUDE.md), i.e. ~25% of this VPU ceiling.
         flops = 2 * 2 * slots * K  # two dtk contractions per sweep
-        itemsize = 2 if cdt == "bfloat16" else 4
-        bytes_ = 2 * slots * K * itemsize  # B re-read by both einsums
+        bytes_ = slots * 8  # ids (i32) + cnts (f32) streamed once
+        compute_ms = flops / peaks.vpu_flops * 1e3
+        bound_kind = "vpu"
     else:
+        # Dense layout: the sweep is two [D, V] x [V, K]-class matmuls —
+        # genuine MXU work with the counts block streamed from HBM.
         flops = 2 * 2 * dense_dv * K
-        bytes_ = 2 * dense_dv * (2 if cdt == "bfloat16" else 4)
+        bytes_ = 2 * dense_dv * itemsize
+        compute_ms = flops / fpk * 1e3
+        bound_kind = "mxu"
+    hbm_ms = bytes_ / peaks.hbm_bytes * 1e3
     out["sweeps_per_sweep"] = {
         "flops": flops,
         "hbm_bytes": bytes_,
-        "bound_ms": max(flops / fpk, bytes_ / peaks.hbm_bytes) * 1e3,
-        "bound": "mxu" if flops / fpk > bytes_ / peaks.hbm_bytes
-        else "hbm",
+        "bound_ms": max(compute_ms, hbm_ms),
+        "bound": bound_kind if compute_ms > hbm_ms else "hbm",
     }
 
     # -- sstats ------------------------------------------------------------
@@ -125,3 +142,130 @@ def estep_cost_model(
 def utilisation(measured_ms: float, bound_ms: float) -> float:
     """Fraction of the roofline achieved (1.0 = speed of light)."""
     return 0.0 if measured_ms <= 0 else min(1.0, bound_ms / measured_ms)
+
+
+def measured_sweep_counts(engine) -> list:
+    """Per-batch CONVERGED sweep counts at the engine's current state,
+    in one jitted dispatch — the dynamic denominator the pass-level
+    roofline needs (the 1e-5 convergence threshold fires in steady
+    state: measured 50 -> ~20 sweeps on the flagship shape, so sizing
+    the bound at ``inner_iterations`` would overstate it ~2.5x)."""
+    import jax
+
+    from pylda_tpu.models.vb import _gamma_init
+    from pylda_tpu.ops.dirichlet import exp_dirichlet_expectation
+    from pylda_tpu.ops.estep import estep_dense, estep_ragged_gamma
+
+    cfg = engine._config
+    st = engine.state
+    key = jax.random.fold_in(st.key, 0x5EE9)
+
+    @jax.jit
+    def counts(lam, alpha, k):
+        eeb = exp_dirichlet_expectation(lam)
+        out = []
+        for i, b in enumerate(engine._batches):
+            sub = jax.random.fold_in(k, i)
+            rows = b.ids.shape[0] if hasattr(b, "ids") else b.counts.shape[0]
+            g0 = _gamma_init(
+                sub, (rows, alpha.shape[0]), lam.dtype, cfg.gamma_init
+            )
+            if hasattr(b, "ids"):
+                _g, s = estep_ragged_gamma(
+                    b.ids, b.cnts, g0, eeb, alpha,
+                    inner_iterations=cfg.inner_iterations,
+                    convergence_threshold=cfg.convergence_threshold,
+                    eps=cfg.eps, compute_dtype=cfg.compute_dtype,
+                )
+            else:
+                _g, _ss, _tok, s = estep_dense(
+                    b.counts, g0, eeb, alpha,
+                    inner_iterations=cfg.inner_iterations,
+                    convergence_threshold=cfg.convergence_threshold,
+                    eps=cfg.eps, compute_dtype=cfg.compute_dtype,
+                )
+            out.append(s)
+        return out
+    return [int(s) for s in jax.device_get(counts(st.lam, st.alpha, key))]
+
+
+def _batch_sweep_bound_ms(b, cfg, peaks: ChipPeaks) -> float:
+    """Roofline bound for ONE sweep of one batch (same resource model as
+    ``estep_cost_model``: VPU for the ragged batched matvecs, MXU for
+    the dense matmul layout)."""
+    K = cfg.number_of_topics
+    itemsize = 2 if cfg.compute_dtype == "bfloat16" else 4
+    if hasattr(b, "ids"):
+        slots = b.ids.shape[0] * b.ids.shape[1]
+        compute_ms = 4 * slots * K / peaks.vpu_flops * 1e3
+        hbm_ms = slots * 8 / peaks.hbm_bytes * 1e3
+    else:
+        slots = b.counts.shape[0] * b.counts.shape[1]
+        compute_ms = 4 * slots * K / peaks.flops(cfg.compute_dtype) * 1e3
+        hbm_ms = 2 * slots * itemsize / peaks.hbm_bytes * 1e3
+    return max(compute_ms, hbm_ms)
+
+
+def pass_bound_ms(engine, peaks: Optional[ChipPeaks] = None) -> float:
+    """Roofline lower bound (ms) for ONE full training pass at the
+    engine's current state: the per-sweep bound scaled by each batch's
+    measured converged sweep count, plus the sstats and E[log beta]
+    phases.  ``measured_pass_ms / pass_bound_ms`` is the headline
+    utilisation ("mfu") bench.py reports."""
+    peaks = peaks or ChipPeaks()
+    cfg = engine._config
+    sweeps = measured_sweep_counts(engine)
+    total = 0.0
+    for b, s in zip(engine._batches, sweeps):
+        total += _batch_sweep_bound_ms(b, cfg, peaks) * s
+    model = estep_cost_model(engine, peaks)
+    for phase in ("sstats", "elog_beta"):
+        if phase in model:
+            total += model[phase]["bound_ms"]
+    return total
+
+
+def roofline_report(engine, repeats: int = 3) -> dict:
+    """Measured per-phase times next to their roofline bounds + a
+    utilisation fraction per phase (SURVEY.md section 5 occupancy
+    reporting; the ``--roofline`` CLI surface logs this).
+
+    Phases are matched by construction: the sweeps-only row against the
+    sweep bound x measured converged sweep counts, the hybrid full
+    E-step (when planned) against sweeps + sstats, and the total
+    iteration against the full pass bound."""
+    peaks = ChipPeaks()
+    timings = engine.phase_timings(repeats=repeats)
+    model = estep_cost_model(engine, peaks)
+    cfg = engine._config
+    sweeps = measured_sweep_counts(engine)
+    sweep_bound = sum(
+        _batch_sweep_bound_ms(b, cfg, peaks) * s
+        for b, s in zip(engine._batches, sweeps)
+    )
+
+    rows = {}
+
+    def row(name, measured, bound):
+        rows[name] = {
+            "measured_ms": round(measured, 3),
+            "bound_ms": round(bound, 3),
+            "utilisation": round(utilisation(measured, bound), 4),
+        }
+
+    if "estep_sweeps_only_ms" in timings:
+        row("sweeps", timings["estep_sweeps_only_ms"], sweep_bound)
+    if "estep_hybrid_full_ms" in timings and "sstats" in model:
+        row(
+            "estep_full",
+            timings["estep_hybrid_full_ms"],
+            sweep_bound + model["sstats"]["bound_ms"],
+        )
+    if "estep_total_ms" in timings:
+        row(
+            "iteration",
+            timings["estep_total_ms"] + timings.get("mstep_ms", 0.0),
+            pass_bound_ms(engine, peaks),
+        )
+    rows["sweep_counts"] = sweeps
+    return rows

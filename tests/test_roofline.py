@@ -17,8 +17,8 @@ def _engine(**kw):
         num_docs=256, num_topics=8, num_types=600,
         mean_doc_length=40.0, seed=0,
     )
-    cfg = LDAConfig(number_of_topics=8, inference_mode="vb", seed=0,
-                    dense_vocab_threshold=8, **kw)
+    kw.setdefault("dense_vocab_threshold", 8)
+    cfg = LDAConfig(number_of_topics=8, inference_mode="vb", seed=0, **kw)
     eng = VariationalBayes(cfg)
     eng.initialize(corpus)
     return eng
@@ -47,13 +47,58 @@ def test_pallas_kernel_drops_phinorm_traffic():
     assert pk["flops"] == xla["flops"]
 
 
-def test_bf16_halves_sweep_traffic_and_doubles_mxu():
+def test_ragged_sweep_is_vpu_bound_and_dtype_invariant():
+    """The ragged fixed point is batched per-doc matvecs: VPU-bound,
+    and bf16 buys nothing (measured: bf16 sweeps showed no gain —
+    BENCH_SUITE.md), so the model must be dtype-invariant there."""
     f32 = estep_cost_model(_engine())["sweeps_per_sweep"]
     bf16 = estep_cost_model(
         _engine(compute_dtype="bfloat16")
     )["sweeps_per_sweep"]
+    assert f32["bound"] in ("vpu", "hbm")
+    assert bf16["bound_ms"] == f32["bound_ms"]
+    assert bf16["flops"] == f32["flops"]
+
+
+def test_dense_sweep_bf16_halves_traffic_and_doubles_mxu():
+    """Dense layout sweeps ARE MXU matmuls: bf16 halves the streamed
+    counts bytes and doubles the flops ceiling."""
+    f32 = estep_cost_model(
+        _engine(dense_vocab_threshold=4096)
+    )["sweeps_per_sweep"]
+    bf16 = estep_cost_model(
+        _engine(dense_vocab_threshold=4096, compute_dtype="bfloat16")
+    )["sweeps_per_sweep"]
     assert bf16["hbm_bytes"] == f32["hbm_bytes"] // 2
     assert bf16["flops"] == f32["flops"]
+
+
+def test_measured_report_shape():
+    """roofline_report pairs measured phase times with bounds and a
+    clamped utilisation; sweep counts reflect convergence (<= cap)."""
+    from pylda_tpu.utils.roofline import (
+        measured_sweep_counts,
+        pass_bound_ms,
+        roofline_report,
+    )
+
+    eng = _engine()
+    eng.learning_many(3)  # move toward convergence so counts drop
+    counts = measured_sweep_counts(eng)
+    assert len(counts) == len(eng._batches)
+    assert all(1 <= c <= eng.config.inner_iterations for c in counts)
+    bound = pass_bound_ms(eng)
+    assert bound > 0
+    rep = roofline_report(eng, repeats=1)
+    assert rep["sweep_counts"] == counts or len(rep["sweep_counts"]) == len(
+        counts
+    )
+    assert {"sweeps", "estep_full", "iteration"} <= set(rep)
+    for phase in ("sweeps", "estep_full", "iteration"):
+        row = rep[phase]
+        assert set(row) == {"measured_ms", "bound_ms", "utilisation"}
+        assert 0.0 <= row["utilisation"] <= 1.0
+        assert row["bound_ms"] > 0 and row["measured_ms"] > 0
 
 
 def test_utilisation_bounds():

@@ -99,6 +99,68 @@ def test_large_k_single_token_matches_exact_categorical(sampler):
     )
 
 
+@pytest.mark.parametrize("sampler", ["cdf", "gumbel", "race"])
+@pytest.mark.parametrize("block", [2, 4, 7])
+def test_blocked_sampler_conserves_counts(sampler, block):
+    """block_positions > 1 (incl. a non-divisor of L, forcing padding)
+    must keep padding frozen and counts exactly conserved."""
+    rng = np.random.default_rng(3)
+    D2, L = 16, 9
+    tokens = jnp.asarray(rng.integers(0, V, size=(D2, L)), dtype=jnp.int32)
+    mask = (jnp.arange(L)[None, :] < jnp.asarray(
+        rng.integers(1, L + 1, size=(D2, 1)))).astype(jnp.float32)
+    log_tw = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(V), size=K)), dtype=jnp.float32
+    )
+    alpha = jnp.full((K,), 0.3, dtype=jnp.float32)
+    z0 = jnp.asarray(rng.integers(0, K, size=(D2, L)), dtype=jnp.int32)
+    _g, ss, z, ndk = sample_doc_topics(
+        tokens, mask, log_tw, alpha, z0, jax.random.PRNGKey(7),
+        num_topics=K, num_types=V, burn_in=1, num_samples=2,
+        sampler=sampler, block_positions=block,
+    )
+    z = np.asarray(z)
+    assert z.shape == (D2, L)
+    np.testing.assert_array_equal(
+        z[np.asarray(mask) == 0], np.asarray(z0)[np.asarray(mask) == 0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ndk).sum(axis=1), np.asarray(mask).sum(axis=1), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(ss).sum()), float(np.asarray(mask).sum()), rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("sampler", ["cdf", "gumbel", "race"])
+def test_blocked_single_token_matches_exact_categorical(sampler):
+    """With one real token per doc, blocking cannot change the
+    conditional (the rest of the block is padding): the empirical
+    histogram must still match the closed-form categorical."""
+    rng = np.random.default_rng(4)
+    word = 5
+    tokens = jnp.full((D, 4), word, dtype=jnp.int32)
+    mask = jnp.concatenate(
+        [jnp.ones((D, 1)), jnp.zeros((D, 3))], axis=1
+    ).astype(jnp.float32)
+    log_tw = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(V), size=K)), dtype=jnp.float32
+    )
+    alpha = jnp.asarray(rng.uniform(0.1, 2.0, size=K), dtype=jnp.float32)
+    z0 = jnp.zeros((D, 4), dtype=jnp.int32)
+    _g, _ss, z, _ndk = sample_doc_topics(
+        tokens, mask, log_tw, alpha, z0, jax.random.PRNGKey(5),
+        num_topics=K, num_types=V, burn_in=0, num_samples=1,
+        sampler=sampler, block_positions=4,
+    )
+    counts = np.bincount(np.asarray(z)[:, 0].ravel(), minlength=K)
+    p = np.asarray(alpha) * np.exp(np.asarray(log_tw))[:, word]
+    p = p / p.sum()
+    emp = counts / D
+    tol = 4 * np.sqrt(p * (1 - p) / D)
+    assert (np.abs(emp - p) < tol + 1e-3).all(), (emp, p)
+
+
 def test_auto_sampler_resolves_by_topic_count():
     """topic_sampler="auto" picks cdf below the measured K~400 crossover
     and race above it (scripts/sampler_ab.py table); explicit values
