@@ -38,6 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "model's top words, scored on the evaluated "
                         "corpus (utils/coherence.py)")
     p.add_argument("--coherence_top_n", type=int, default=10)
+    p.add_argument("--point_estimate", action="store_true",
+                   help="also report the convention-neutral "
+                        "point-estimate perplexity (theta_hat @ "
+                        "beta_hat) — the VB family's native score is an "
+                        "E[log beta] lower bound and NOT comparable to "
+                        "Gibbs's point-estimate score; this one is "
+                        "comparable across engines")
     return p
 
 
@@ -68,6 +75,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     np.savetxt(out, gamma, fmt="%.8g", delimiter="\t")
 
     metrics = MetricsLogger()
+    extra = {}
+    if args.point_estimate:
+        extra["point_estimate_perplexity"] = round(
+            engine.point_estimate_perplexity(corpus), 4
+        )
     metrics.log(
         event="heldout",
         model=args.model,
@@ -76,6 +88,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         log_likelihood=ll,
         per_word_perplexity=round(perplexity, 4),
         gamma_file=out,
+        **extra,
     )
     if args.coherence:
         from pylda_tpu.utils.coherence import engine_coherence

@@ -188,9 +188,45 @@ class Inferencer:
         return {}
 
     def perplexity(self, test_corpus: Corpus) -> float:
-        """Per-word held-out perplexity (SURVEY.md section 3.4)."""
+        """Per-word held-out perplexity (SURVEY.md section 3.4), under
+        the ENGINE'S NATIVE convention: the VB family scores tokens with
+        E[log beta] (a variational lower bound), Gibbs with point
+        estimates.  Numbers are therefore NOT comparable across engine
+        families — use ``point_estimate_perplexity`` for that."""
         ll, _ = self.inference(test_corpus)
         return float(np.exp(-ll / max(1, test_corpus.num_tokens)))
+
+    def point_estimate_perplexity(self, test_corpus: Corpus) -> float:
+        """Convention-neutral held-out perplexity: p(w|d) = theta_hat @
+        beta_hat with theta_hat from this engine's own inference gamma
+        and beta_hat its topic-word POINT estimate (lambda/sum for the
+        VB family — exp E[log beta] keeps the psi(small-count) collapse
+        — and (n_kv+b)/(n_k+sum b) for Gibbs).
+
+        Motivation (scripts/sampling_quality_study.py, config-3 shape):
+        the native conventions differ by the Jensen gap of E[log beta]
+        vs log E[beta] — ~1/(2*lam) nats per low-count word — which made
+        hybrid look ~3x worse than Gibbs (23,042 vs 7,704) when the
+        models were actually ~5% apart (8,124 vs 7,704) under this
+        shared metric.  Cross-ENGINE quality comparisons must use this;
+        reference-parity checks use ``perplexity``."""
+        _ll, gamma = self.inference(test_corpus)
+        theta = gamma / gamma.sum(axis=1, keepdims=True)
+        if self._state is not None and getattr(self, "_n_kv", None) is None:
+            from pylda_tpu.parallel.mesh import host_gather
+
+            lam = host_gather(self.state.lam).astype(np.float64)
+            beta = lam / lam.sum(axis=1, keepdims=True)
+        else:
+            beta = self.topic_word_distribution()
+        logp = np.log(theta @ beta + 1e-30)  # [D, V]
+        tot_ll = 0.0
+        tot_n = 0
+        for d in range(test_corpus.num_docs):
+            ids, cnts = test_corpus.doc_unique(d)
+            tot_ll += float((cnts * logp[d, ids]).sum())
+            tot_n += int(cnts.sum())
+        return float(np.exp(-tot_ll / max(1, tot_n)))
 
     # -- topics --------------------------------------------------------------------
 

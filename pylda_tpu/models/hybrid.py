@@ -19,6 +19,7 @@ from typing import List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pylda_tpu.corpus.corpus import Corpus, SequenceBucket
 from pylda_tpu.models.vb import VariationalBayes
@@ -40,6 +41,172 @@ class Hybrid(VariationalBayes):
         # from averaged z draws, not from a gamma fixed point, so the
         # VB dense-sstats shortcut does not apply.
         return None
+
+    def _prepare(self, corpus: Corpus) -> None:
+        super()._prepare(corpus)
+        cfg = self._config
+        self._z_hyb = None
+        if cfg.hybrid_persistent_z:
+            key = jax.random.fold_in(self.state.key, 0x2B1D)
+            self._z_hyb = tuple(
+                random_assignments(
+                    jax.random.fold_in(key, i), jnp.asarray(b.tokens),
+                    cfg.number_of_topics,
+                )
+                for i, b in enumerate(self._batches)
+            )
+            self._restore_chains()
+            self._jit_iteration_z = jax.jit(
+                self._iteration_z, static_argnames=("update_hypers",)
+            )
+            self._jit_scan_z = jax.jit(
+                self._iterations_scan_z,
+                static_argnames=("n", "hyper_interval"),
+            )
+
+    def _restore_chains(self) -> None:
+        """Re-apply checkpointed persistent chains when the bucket
+        layout matches (elastic resume re-places with each bucket's
+        sharding; mismatched layouts fall back to the fresh random z —
+        one extra burn-in transient, never an error)."""
+        blobs = getattr(self, "_zh_restore", None)
+        if not blobs:
+            return
+        keys = sorted(blobs, key=lambda s: int(s.split("_")[1]))
+        if len(keys) != len(self._batches):
+            return
+        if any(
+            blobs[k].shape != tuple(self._batches[i].tokens.shape)
+            for i, k in enumerate(keys)
+        ):
+            return
+        self._z_hyb = tuple(
+            jax.device_put(blobs[k], self._batches[i].tokens.sharding)
+            if hasattr(self._batches[i].tokens, "sharding")
+            else jnp.asarray(blobs[k])
+            for i, k in enumerate(keys)
+        )
+
+    def _extra_state(self) -> dict:
+        d = super()._extra_state()
+        if self._z_hyb is not None:
+            from pylda_tpu.parallel.mesh import host_gather
+
+            for i, z in enumerate(self._z_hyb):
+                d[f"zh_{i}"] = host_gather(z)
+        return d
+
+    def _load_extra_state(self, blobs: dict) -> None:
+        super()._load_extra_state(
+            {k: v for k, v in blobs.items() if not k.startswith("zh_")}
+        )
+        self._zh_restore = {
+            k: v for k, v in blobs.items() if k.startswith("zh_")
+        }
+
+    # -- persistent-chain training (hybrid_persistent_z) --------------------
+
+    def _iteration_z(self, state, batches, zs, update_hypers: bool):
+        """VB._iteration with the per-document topic assignments carried
+        across iterations (warm chains; cold restarts re-bias the
+        sampled statistics toward uniform every iteration)."""
+        from pylda_tpu.models.base import LDAState
+        from pylda_tpu.ops.dirichlet import beta_elbo
+        from pylda_tpu.ops.hyper import newton_dirichlet_mle
+        from pylda_tpu.models.vb import _elog_lambda_sum
+
+        key, sub = jax.random.split(state.key)
+        gammas, sstats, token_score, theta_score, elog_sum, z_new = (
+            self._run_estep_z(batches, state.lam, state.alpha, sub, zs)
+        )
+        elbo = token_score + theta_score + beta_elbo(state.lam, state.eta)
+        lam_new = state.eta[None, :] + sstats
+        alpha_new, eta_new = state.alpha, state.eta
+        if update_hypers:
+            alpha_new = newton_dirichlet_mle(
+                state.alpha, elog_sum,
+                jnp.asarray(self._corpus.global_num_docs),
+            )
+            eta_new = newton_dirichlet_mle(
+                state.eta, _elog_lambda_sum(lam_new),
+                jnp.asarray(self._config.number_of_topics),
+            )
+        new_state = LDAState(
+            lam=lam_new, alpha=alpha_new, eta=eta_new,
+            step=state.step + 1, key=key,
+        )
+        return new_state, elbo, gammas, z_new
+
+    def _iterations_scan_z(self, state, batches, zs, n: int,
+                           hyper_interval: int):
+        def body(carry, _):
+            st, z = carry
+            if hyper_interval > 0:
+                do_up = (st.step + 1) % hyper_interval == 0
+
+                def with_up(args):
+                    s, zz = args
+                    ns, e, _g, zn = self._iteration_z(
+                        s, batches, zz, update_hypers=True
+                    )
+                    return ns, e, zn
+
+                def without_up(args):
+                    s, zz = args
+                    ns, e, _g, zn = self._iteration_z(
+                        s, batches, zz, update_hypers=False
+                    )
+                    return ns, e, zn
+
+                new_st, elbo, z_new = jax.lax.cond(
+                    do_up, with_up, without_up, (st, z)
+                )
+            else:
+                new_st, elbo, _g, z_new = self._iteration_z(
+                    st, batches, z, update_hypers=False
+                )
+            return (new_st, z_new), elbo
+
+        (new_state, z_final), elbos = jax.lax.scan(
+            body, (state, tuple(zs)), None, length=n
+        )
+        return new_state, z_final, elbos
+
+    def learning(self) -> float:
+        if self._z_hyb is None:
+            return super().learning()
+        st = self.state
+        interval = self._config.hyper_parameter_optimize_interval
+        update = interval > 0 and (self._counter + 1) % interval == 0
+        new_state, elbo, gammas, z_new = self._jit_iteration_z(
+            st, self._batches, self._z_hyb, update_hypers=update
+        )
+        self._state = new_state
+        self._z_hyb = z_new
+        self._step_host = self._counter + 1
+        self._set_gammas(gammas, self._gamma_doc_ids_for(self._batches, None))
+        return float(elbo)
+
+    def learning_many(self, n: int):
+        if self._z_hyb is None:
+            return super().learning_many(n)
+        if n <= 0:
+            return []
+        st = self.state
+        new_state, z_final, elbos = self._jit_scan_z(
+            st, self._batches, self._z_hyb, n=n,
+            hyper_interval=self._config.hyper_parameter_optimize_interval,
+        )
+        self._state = new_state
+        self._z_hyb = z_final
+        self._step_host = self._counter + n
+        self._set_gammas(None, None)  # lazy: .gamma re-runs the E-step
+        return [float(x) for x in np.asarray(elbos)]
+
+    def _run_estep_z(self, batches, lam, alpha, key, zs):
+        """The sampled local step with EXPLICIT chain state; returns the
+        VB E-step contract plus the advanced assignments."""
+        return self._estep_impl(batches, lam, alpha, key, zs)
 
     def _build_batches(self, corpus: Corpus) -> List[SequenceBucket]:
         cfg = self._config
@@ -81,10 +248,18 @@ class Hybrid(VariationalBayes):
         self, batches, lam, alpha, key,
         dense_chunks=None, docs_mask=None, num_docs=None,
     ):
-        """Sampled local step over every sequence bucket.
+        """Sampled local step over every sequence bucket (cold-start
+        chains — the held-out inference path and the
+        hybrid_persistent_z=False training path).
 
         Same return contract as the VB E-step: (gammas, sstats,
         token_score, theta_score, elog_sum)."""
+        return self._estep_impl(batches, lam, alpha, key, None)[:5]
+
+    def _estep_impl(self, batches, lam, alpha, key, zs):
+        """Shared sampled local step; ``zs`` carries persistent chains
+        (None = fresh random assignments per bucket).  Returns the VB
+        E-step contract plus the advanced assignments."""
         cfg = self._config
         K = cfg.number_of_topics
         V = len(self._vocab)
@@ -94,12 +269,17 @@ class Hybrid(VariationalBayes):
         theta_score = jnp.zeros((), dtype=self._dtype)
         elog_sum = jnp.zeros((K,), dtype=self._dtype)
         gammas = []
+        z_out = []
         for i, b in enumerate(batches):
             sub = jax.random.fold_in(key, i)
-            z0 = random_assignments(
-                jax.random.fold_in(sub, 1), jnp.asarray(b.tokens), K
+            z0 = (
+                zs[i]
+                if zs is not None
+                else random_assignments(
+                    jax.random.fold_in(sub, 1), jnp.asarray(b.tokens), K
+                )
             )
-            gamma_b, ss, _z, _ndk = sample_doc_topics(
+            gamma_b, ss, z_new, _ndk = sample_doc_topics(
                 jnp.asarray(b.tokens),
                 jnp.asarray(b.token_mask),
                 elog_beta,
@@ -128,4 +308,7 @@ class Hybrid(VariationalBayes):
             ).sum(axis=0)
             sstats = ss if sstats is None else sstats + ss
             gammas.append(gamma_b)
-        return gammas, sstats, token_score, theta_score, elog_sum
+            z_out.append(z_new)
+        return gammas, sstats, token_score, theta_score, elog_sum, tuple(
+            z_out
+        )

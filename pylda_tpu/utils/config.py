@@ -98,6 +98,19 @@ class LDAConfig:
     # band (9285 vs 9326 after 40 sweeps — nominally better).
     sampler_block_positions: int = 8
 
+    # Hybrid only: carry each document's topic assignments z across
+    # training iterations (warm chains) instead of re-drawing random z
+    # every iteration.  Measured at matched wall-clock on the config-3
+    # shape (scripts/sampling_quality_study.py): warm chains stabilise
+    # the NATIVE (E[log beta]-bound) perplexity trajectory but are
+    # slightly WORSE on the convention-neutral point-estimate metric
+    # (8492 vs 8124 cold-start; Gibbs 7704) — the apparent cold-start
+    # "divergence" was the scoring convention's Jensen penalty growing
+    # as lambda sharpens, not a model regression.  Default stays False
+    # (the Mimno 2012 cold-start scheme); chains checkpoint/restore
+    # when enabled.
+    hybrid_persistent_z: bool = False
+
     # ----- Wallach slice sampler (Gibbs hyperopt; SURVEY.md section 8.2) ---
     slice_samples: int = 5
     slice_step: float = 3.0
