@@ -26,6 +26,18 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+# Sweep knobs, overridable by A/B scripts BEFORE tracing (use
+# jax.clear_caches() after changing; they are read at trace time).
+# Measured on the config-3 shape (scripts/gibbs_step_opts.py, v5e):
+# the prefix-sum matmul at HIGH (3 bf16 passes, ~f32 fidelity) is 4.8%
+# faster per sweep than HIGHEST (6 passes) with joint-LL/held-out in
+# band; DEFAULT (single bf16 pass) buys only 2% more while rounding
+# every product to bf16 — a systematic distortion of the conditional,
+# not just ulp noise — so HIGH is the default.  A bf16 factor table
+# (TW_DTYPE) measured no gain (the gather is not the bound).
+CDF_PRECISION = jax.lax.Precision.HIGH
+TW_DTYPE = None  # e.g. jnp.bfloat16 halves the per-position factor gather
+
 
 @functools.partial(
     jax.jit,
@@ -112,6 +124,8 @@ def sample_doc_topics(
         tw = jnp.exp(
             log_topic_word - log_topic_word.max(axis=0, keepdims=True)
         )  # [K, V]
+        if TW_DTYPE is not None:
+            tw = tw.astype(TW_DTYPE)
     if sampler == "cdf":
         # Inclusive prefix-sum as one MXU matmul: jnp.cumsum along the
         # lane (K) axis lowers to a shift cascade with relayouts that
@@ -163,7 +177,7 @@ def sample_doc_topics(
                 # ~2^-24 per draw) — accepted: the K-1 clamp bounds the
                 # top end and the assignment error is to an adjacent,
                 # near-equal-mass boundary.
-                c = jnp.dot(p, tri, precision=jax.lax.Precision.HIGHEST)
+                c = jnp.dot(p, tri, precision=CDF_PRECISION)
                 r = u_t[..., None] * c[..., -1:]
                 z_new = jnp.minimum(
                     (c < r).sum(axis=-1), K - 1

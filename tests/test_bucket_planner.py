@@ -237,3 +237,43 @@ def test_sampling_auto_geometry_conserves_counts():
     ll, gamma = eng.inference(corpus.subset(range(80, 96)))
     assert np.isfinite(ll)
     assert gamma.shape[0] == 16
+
+
+def test_svi_capacities_from_expected_drop_promote_and_determinism():
+    """The shared capacity formula behind both the single-process SVI
+    geometry plan and the multi-host negotiation
+    (mesh.negotiate_svi_ragged_geometry): buckets with expected rows
+    below pad/2 drop and their mass promotes upward; the top size with
+    mass is always kept; identical inputs give identical outputs (the
+    cross-host agreement contract)."""
+    from pylda_tpu.models.layouts import svi_capacities_from_expected
+
+    sizes = [32, 64, 128, 256]
+    # 64 has negligible mass -> drops, promotes into 128; 256 is empty
+    # and above the top size with mass -> excluded entirely.
+    expected = {32: 40.0, 64: 1.0, 128: 10.0, 256: 0.0}
+    caps = svi_capacities_from_expected(sizes, expected, pad=16)
+    assert set(caps) == {32, 128}
+    # Capacity covers e + 4*sqrt(e), rounded to pad.
+    assert caps[32] >= 40 + 4 * (40 ** 0.5)
+    assert caps[32] % 16 == 0
+    # The promoted mass (1.0) rides into the 128 bucket's expectation.
+    assert caps[128] >= 11 + 4 * (11 ** 0.5) - 16
+    # Determinism: same inputs, same plan (dict equality).
+    assert caps == svi_capacities_from_expected(sizes, expected, pad=16)
+
+
+def test_aligned_width_histogram_contract():
+    """Fixed-length vector over aligned widths; oversized docs chunk
+    into the last bin (one row per cap-sized chunk)."""
+    import numpy as np
+
+    from pylda_tpu.models.layouts import aligned_width_histogram
+
+    uc = np.asarray([1, 16, 17, 250, 300])  # cap=128: 300 -> 3 chunks
+    h = aligned_width_histogram(uc, align=16, cap=128)
+    assert h.shape == (8,)
+    assert h[0] == 2  # widths 1, 16
+    assert h[1] == 1  # width 17 -> 32 bin
+    assert h[-1] == 2 + 3  # 250 -> 2 chunks, 300 -> 3 chunks
+    assert h.sum() == 2 + 1 + 5
