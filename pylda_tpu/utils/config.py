@@ -76,17 +76,23 @@ class LDAConfig:
     # random streams.  "auto" picks by K: the cdf prefix sum is a
     # [D,K]x[K,K] matmul per position — O(K^2) — so it wins at small K
     # and inverts at large K.  On-chip full-sweep A/B vs gumbel
-    # (scripts/sampler_ab.py, v5e, V=10k): K=100 cdf 1.20x / race
-    # 0.99x; K=300 cdf 1.13x / race 1.12x; K=512 cdf 0.99x / race
-    # 1.04x; K=1000 cdf 0.74x / race 1.08x.
+    # (scripts/sampler_ab.py, v5e, V=10k): at B=1 blocks K=100 cdf
+    # 1.20x / race 0.99x; K=300 cdf 1.13x / race 1.12x; K=512 cdf
+    # 0.99x / race 1.04x; K=1000 cdf 0.74x / race 1.08x.  Re-measured
+    # at the shipping B=8 blocks, K=1000: gumbel 25.9 ms / race 26.2 /
+    # cdf 29.0 — blocking amortises gumbel's per-position threefry
+    # draw (one [B,D,K] categorical per block), so above the crossover
+    # the exact log-domain formulation is also the fastest.
     topic_sampler: str = "auto"
 
     def resolved_topic_sampler(self) -> str:
         """Concrete sampler for topic_sampler="auto": inverse-CDF up to
-        the measured K=300-512 crossover, exponential races above it."""
+        the measured K=300-512 crossover, log-domain gumbel above it
+        (fastest at large K under B=8 blocks, and the exact
+        formulation)."""
         if self.topic_sampler != "auto":
             return self.topic_sampler
-        return "cdf" if self.number_of_topics <= 384 else "race"
+        return "cdf" if self.number_of_topics <= 384 else "gumbel"
 
     # Positions sampled per within-document scan step (Gibbs/hybrid).
     # 1 = exact sequential within-doc Gibbs.  B > 1 samples B positions

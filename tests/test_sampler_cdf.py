@@ -163,18 +163,23 @@ def test_blocked_single_token_matches_exact_categorical(sampler):
 
 def test_auto_sampler_resolves_by_topic_count():
     """topic_sampler="auto" picks cdf below the measured K~400 crossover
-    and race above it (scripts/sampler_ab.py table); explicit values
-    pass through untouched."""
+    and gumbel above it (scripts/sampler_ab.py tables; at the shipping
+    B=8 blocks gumbel is fastest at large K); explicit values pass
+    through untouched."""
     from pylda_tpu.utils.config import LDAConfig
 
     assert LDAConfig(number_of_topics=100).resolved_topic_sampler() == "cdf"
     assert LDAConfig(number_of_topics=384).resolved_topic_sampler() == "cdf"
-    assert LDAConfig(number_of_topics=385).resolved_topic_sampler() == "race"
-    assert LDAConfig(number_of_topics=1000).resolved_topic_sampler() == "race"
     assert (
-        LDAConfig(number_of_topics=1000, topic_sampler="gumbel")
+        LDAConfig(number_of_topics=385).resolved_topic_sampler() == "gumbel"
+    )
+    assert (
+        LDAConfig(number_of_topics=1000).resolved_topic_sampler() == "gumbel"
+    )
+    assert (
+        LDAConfig(number_of_topics=1000, topic_sampler="race")
         .resolved_topic_sampler()
-        == "gumbel"
+        == "race"
     )
 
 
