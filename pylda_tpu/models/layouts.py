@@ -37,7 +37,7 @@ def build_vb_batches(
     config: LDAConfig,
     doc_indices: Optional[Sequence[int]] = None,
     pad_docs_to: Optional[int] = None,
-    memory_budget_mb: int = 512,
+    memory_budget_mb: Optional[int] = None,
     bucket_capacities: Optional[dict] = None,
 ) -> List[VBBatch]:
     """Materialise the corpus (or a subset) as E-step ready batches.
@@ -51,6 +51,8 @@ def build_vb_batches(
     V = corpus.num_types
     K = config.number_of_topics
     pad = config.doc_pad_multiple
+    if memory_budget_mb is None:
+        memory_budget_mb = getattr(config, "estep_memory_budget_mb", 512)
     out: List[VBBatch] = []
     if V <= config.dense_vocab_threshold:
         idx = (

@@ -30,6 +30,15 @@ shared bucket shape) the WHOLE epoch — E-steps, natural-gradient lambda
 updates, bound estimates — collapses into ONE ``lax.scan`` dispatch over
 the stacked minibatches, sharded or not.  Non-uniform (ragged
 multi-bucket) epochs fall back to one dispatch per minibatch.
+
+Device-resident minibatching (single-process ragged layout with a
+fixed geometry): the corpus's ragged rows are uploaded ONCE and each
+epoch ships only [n_batches, capacity] row-index arrays — the scan
+body gathers its minibatch buckets on device.  This replaces the
+per-epoch host repack + full-corpus re-upload with ~100 KB of indices
+(bitwise-identical results; tests/test_svi.py pins it).  Auto-disabled
+over ``svi_device_rows_budget_mb`` (the larger-than-HBM streaming
+regime), for process-local corpora, and for disk-backed streaming.
 """
 
 from __future__ import annotations
@@ -83,6 +92,11 @@ class StochasticVariationalBayes(VariationalBayes):
         self._t = getattr(self, "_t", 0)  # global minibatch counter
         self._jit_minibatch = jax.jit(self._minibatch_step)
         self._jit_epoch_scan = jax.jit(self._epoch_scan)
+        self._device_rows = None
+        if self._svi_geometry is not None and not proc_local:
+            self._device_rows = self._build_device_rows(corpus)
+            if self._device_rows is not None:
+                self._jit_epoch_gather = jax.jit(self._epoch_scan_gather)
         if proc_local:
             if self._mesh is None:
                 raise ValueError(
@@ -140,6 +154,178 @@ class StochasticVariationalBayes(VariationalBayes):
         n = rhos.shape[0]
         lam_final, (ests, elog_sums, gammas) = jax.lax.scan(
             body, lam, (stacked, rhos, scales, jnp.arange(n))
+        )
+        return lam_final, ests, elog_sums.sum(axis=0), gammas
+
+    # -- device-resident minibatching (single-process ragged layout) ---------------
+
+    def _build_device_rows(self, corpus: Corpus):
+        """Put the corpus's ragged rows on device ONCE so epochs ship
+        only row indices (config.svi_device_rows_budget_mb rationale).
+
+        Returns (rows_arrays, meta) or None when inapplicable:
+        ``rows_arrays[j]`` = {ids [R+1, w], cnts, doc_ids [R+1]} for the
+        j-th geometry width with an inert sentinel row at index R;
+        ``meta[j]`` = (width, capacity, sentinel, doc_of_row [R],
+        csr_start [D+1], csr_rows [R]) — the host-side doc->rows map in
+        CSR form, for vectorised per-minibatch index assembly."""
+        cfg = self._config
+        caps = self._svi_geometry
+        sizes = sorted(caps)
+        hist = corpus.ragged_row_histogram(sizes)
+        total_mb = sum(hist[s] * s for s in sizes) * 8 / 1e6
+        if total_mb > cfg.svi_device_rows_budget_mb:
+            return None  # the corpora-larger-than-HBM streaming regime
+        if getattr(corpus, "docs", None) is None:
+            return None  # disk-backed: rows are not in RAM to upload
+        buckets = {
+            b.ids.shape[1]: b
+            for b in corpus.to_ragged_buckets(
+                bucket_sizes=tuple(sizes), doc_pad_multiple=1
+            )
+        }
+        D = corpus.num_docs
+        K = cfg.number_of_topics
+        pad = cfg.doc_pad_multiple
+        rows_arrays, meta = [], []
+        for s in sizes:
+            b = buckets.get(s)
+            if b is None:
+                ids = np.zeros((1, s), np.int32)
+                cnts = np.zeros((1, s), np.float32)
+                dids = np.full((1,), -1, np.int32)
+                doc_of_row = np.zeros((0,), np.int32)
+            else:
+                ids = np.concatenate([b.ids, np.zeros((1, s), np.int32)])
+                cnts = np.concatenate(
+                    [b.cnts, np.zeros((1, s), np.float32)]
+                )
+                dids = np.concatenate(
+                    [b.doc_ids, np.full((1,), -1, np.int32)]
+                )
+                doc_of_row = np.asarray(b.doc_ids, np.int64)
+            # CSR doc->rows (rows are doc-major, so stable sort keeps a
+            # chunked doc's row order).
+            order = np.argsort(doc_of_row, kind="stable")
+            counts = np.bincount(doc_of_row, minlength=D)
+            start = np.zeros((D + 1,), np.int64)
+            np.cumsum(counts, out=start[1:])
+            arrs = {
+                "ids": jnp.asarray(ids),
+                "cnts": jnp.asarray(cnts),
+                "doc_ids": jnp.asarray(dids),
+            }
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(self._mesh, P())
+                arrs = {
+                    k: jax.device_put(v, rep) for k, v in arrs.items()
+                }
+            # Memory-budget row chunking, EXACTLY mirroring the host
+            # path's build_vb_batches split: identical per-chunk shapes
+            # keep the RNG stream (fold_in per bucket position), the
+            # per-chunk convergence granularity, and the [rows, T, K]
+            # memory bound bit-for-bit equivalent to the host repack.
+            budget_rows = max(
+                pad,
+                int(cfg.estep_memory_budget_mb * 1e6 / (4 * s * K * 3)),
+            )
+            chunk_sizes = layouts._split_rows(int(caps[s]), budget_rows, pad)
+            meta.append(
+                dict(
+                    width=s, cap=int(caps[s]),
+                    sentinel=ids.shape[0] - 1,
+                    doc_of_row=doc_of_row.astype(np.int32),
+                    csr_start=start,
+                    csr_rows=order.astype(np.int32),
+                    chunk_sizes=chunk_sizes,
+                )
+            )
+            rows_arrays.extend([arrs] * len(chunk_sizes))
+        return rows_arrays, meta
+
+    def _epoch_index_stacks(self, epoch_seed: int):
+        """Host-side index assembly for one device-gathered epoch:
+        (idx_stacks [n, cap_j] per width, doc_ids_lists, rhos, scales),
+        or None when a minibatch overflows a capacity (fall back to the
+        host repack path, which promotes rows upward)."""
+        cfg = self._config
+        corpus = self._corpus
+        D = corpus.num_docs
+        _rows_arrays, meta = self._device_rows
+        index_lists = corpus.minibatch_indices(cfg.batch_size, seed=epoch_seed)
+        n = len(index_lists)
+        idx_stacks = [
+            np.full((n, c), m["sentinel"], np.int32)
+            for m in meta
+            for c in m["chunk_sizes"]
+        ]
+        doc_ids_lists = []
+        rhos, scales = [], []
+        for i, sel in enumerate(index_lists):
+            per_batch = []
+            stack_j = 0
+            for m in meta:
+                st, rows = m["csr_start"], m["csr_rows"]
+                ln = (st[sel + 1] - st[sel]).astype(np.int64)
+                tot = int(ln.sum())
+                if tot > m["cap"]:
+                    return None  # ~3e-5/bucket/batch; host path promotes
+                full = np.full((m["cap"],), m["sentinel"], np.int32)
+                gids = np.full((m["cap"],), -1, np.int32)
+                if tot:
+                    base = np.repeat(st[sel], ln)
+                    offs = np.arange(tot) - np.repeat(
+                        np.cumsum(ln) - ln, ln
+                    )
+                    r = rows[base + offs]
+                    full[:tot] = r
+                    gids[:tot] = m["doc_of_row"][r]
+                # Slice the capacity row block into the SAME chunk
+                # layout the host repack emits (RNG-stream parity).
+                s0 = 0
+                for c in m["chunk_sizes"]:
+                    idx_stacks[stack_j][i] = full[s0 : s0 + c]
+                    per_batch.append(gids[s0 : s0 + c])
+                    s0 += c
+                    stack_j += 1
+            doc_ids_lists.append(per_batch)
+            scales.append(D / max(1, len(sel)))
+            rhos.append((cfg.tau0 + self._t + i) ** (-cfg.kappa))
+        return idx_stacks, doc_ids_lists, rhos, scales
+
+    def _epoch_scan_gather(
+        self, lam, alpha, eta, key, rows_arrays, idx_stacks, rhos, scales
+    ):
+        """Whole epoch in one lax.scan; each step GATHERS its minibatch
+        buckets from the device-resident corpus rows (sentinel rows are
+        inert: zero counts, doc id -1 -> mask 0)."""
+        from pylda_tpu.corpus.corpus import RaggedBucket
+
+        def body(carry, xs):
+            lam = carry
+            idxs, rho, scale, i = xs
+            bl = []
+            for arrs, idx in zip(rows_arrays, idxs):
+                dids = arrs["doc_ids"][idx]
+                bl.append(
+                    RaggedBucket(
+                        ids=arrs["ids"][idx],
+                        cnts=arrs["cnts"][idx],
+                        mask=(dids >= 0).astype(lam.dtype),
+                        doc_ids=dids,
+                    )
+                )
+            sub = jax.random.fold_in(key, i)
+            lam_new, est, elog_sum, gammas = self._minibatch_step(
+                lam, alpha, eta, sub, bl, rho, scale
+            )
+            return lam_new, (est, elog_sum, gammas)
+
+        n = rhos.shape[0]
+        lam_final, (ests, elog_sums, gammas) = jax.lax.scan(
+            body, lam, (tuple(idx_stacks), rhos, scales, jnp.arange(n))
         )
         return lam_final, ests, elog_sums.sum(axis=0), gammas
 
@@ -335,6 +521,45 @@ class StochasticVariationalBayes(VariationalBayes):
         key, sub = jax.random.split(st.key)
         epoch_seed = self._counter * 100003 + cfg.seed
 
+        stacks = (
+            self._epoch_index_stacks(epoch_seed)
+            if self._device_rows is not None
+            else None
+        )
+        if stacks is not None:
+            # Device-resident minibatching: ship row indices only; the
+            # fused scan gathers each minibatch's buckets on device.
+            idx_stacks, doc_ids_lists, rhos, scales = stacks
+            rows_arrays, _meta = self._device_rows
+            idx_dev = [jnp.asarray(x) for x in idx_stacks]
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                idx_dev = [
+                    jax.device_put(
+                        x, NamedSharding(self._mesh, P(None, "data"))
+                    )
+                    for x in idx_dev
+                ]
+            lam, ests, elog_sum_epoch, gammas_stacked = (
+                self._jit_epoch_gather(
+                    st.lam, st.alpha, st.eta, sub, rows_arrays, idx_dev,
+                    jnp.asarray(rhos, self._dtype),
+                    jnp.asarray(scales, self._dtype),
+                )
+            )
+            n = len(rhos)
+            self._t += n
+            ests = list(np.asarray(ests, dtype=np.float64))
+            gammas = [
+                g
+                for i in range(n)
+                for g in jax.tree.map(lambda x: x[i], gammas_stacked)
+            ]
+            return self._finish_epoch(
+                st, key, lam, ests, elog_sum_epoch, gammas, doc_ids_lists
+            )
+
         batch_lists, doc_ids_lists, rhos, scales, proc_local = (
             self._epoch_batches(epoch_seed)
         )
@@ -401,13 +626,23 @@ class StochasticVariationalBayes(VariationalBayes):
                 gammas.extend(gs)
             ests = list(np.asarray(jnp.stack(ests_dev), dtype=np.float64))
 
+        return self._finish_epoch(
+            st, key, lam, ests, elog_sum_epoch, gammas, doc_ids_lists
+        )
+
+    def _finish_epoch(
+        self, st, key, lam, ests, elog_sum_epoch, gammas, doc_ids_lists
+    ) -> float:
+        """Shared epoch postlude: scheduled hyper updates, gamma
+        bookkeeping, state publication, epoch-mean bound estimate."""
+        cfg = self._config
         docs_seen = float(self._corpus.global_num_docs)
-        alpha_new, eta_new = alpha, st.eta
+        alpha_new, eta_new = st.alpha, st.eta
         step_new = self._counter + 1
         interval = cfg.hyper_parameter_optimize_interval
         if interval > 0 and step_new % interval == 0:
             alpha_new = newton_dirichlet_mle(
-                alpha, elog_sum_epoch, jnp.asarray(docs_seen)
+                st.alpha, elog_sum_epoch, jnp.asarray(docs_seen)
             )
             eta_new = newton_dirichlet_mle(
                 st.eta, _elog_lambda_sum(lam),

@@ -157,10 +157,28 @@ class LDAConfig:
     # chunked so each [rows, V] f32 chunk stays under this (bounds the
     # [rows, V] phinorm temporary of each estep_dense_sstats call).
     sstats_dense_budget_mb: int = 512
+    # E-step batch memory budget: rows per chunk are capped so the
+    # [rows, T, K] (ragged) / [rows, V] (dense) work arrays stay under
+    # this.  Shared by the host repack (models/layouts.build_vb_batches)
+    # and the SVI device-gather path so their chunk layouts — hence RNG
+    # streams and convergence granularity — match exactly.
+    estep_memory_budget_mb: int = 512
     # TOTAL budget for the corpus-static dense counts matrix: every
     # chunk is device-resident for the whole run, so "auto" falls back
     # to the scatter path when num_docs * V * 4 bytes exceeds this.
     sstats_dense_total_budget_mb: int = 4096
+
+    # SVI device-resident minibatching (single-process ragged layout):
+    # the corpus's ragged rows live on device once, and each epoch ships
+    # only tiny per-minibatch ROW-INDEX arrays — the fused epoch scan
+    # gathers its minibatch buckets on device.  Replaces the per-epoch
+    # host repack (~0.25 s/epoch at the config-4 shape) and the per-epoch
+    # corpus re-upload (~50 MB through a tunnel) with ~100 KB of
+    # indices.  Auto-disabled when the rows exceed this budget (that is
+    # the corpora-larger-than-HBM regime SVI streaming exists for), for
+    # process-local corpora (each host re-parses its block), and for
+    # disk-backed streaming corpora.
+    svi_device_rows_budget_mb: int = 2048
 
     # Backend for the scatter-free dense sufficient statistics
     # (sstats_mode="auto" path): "xla" = ops/estep.estep_dense_sstats

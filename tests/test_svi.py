@@ -230,3 +230,83 @@ def test_engine_svi_matches_oracle_svi():
     p_eng, p_ora = eng.perplexity(test), ora.perplexity(test)
     assert np.isfinite(p_eng) and np.isfinite(p_ora)
     assert abs(p_eng - p_ora) / p_ora < 0.15
+
+
+def test_device_rows_path_matches_host_repack():
+    """Device-resident minibatching (corpus rows on device once, epochs
+    ship row indices, the fused scan gathers) must be BITWISE identical
+    to the host repack path: same minibatch membership, same row order,
+    same RNG stream.  svi_device_rows_budget_mb=0 forces the host path."""
+    import numpy as np
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import StochasticVariationalBayes
+    from pylda_tpu.utils.config import LDAConfig
+
+    c, _, _ = synthetic_corpus(
+        num_docs=256, num_topics=8, num_types=6000, mean_doc_length=60,
+        seed=0,
+    )
+    lam0 = np.random.default_rng(9).gamma(100.0, 0.01, size=(8, 6000))
+
+    def run(budget):
+        cfg = LDAConfig(
+            number_of_topics=8, inference_mode="svi", batch_size=64,
+            tau0=16.0, kappa=0.7, inner_iterations=15, seed=0,
+            gamma_init="ones", svi_device_rows_budget_mb=budget,
+            hyper_parameter_optimize_interval=2,
+        )
+        e = StochasticVariationalBayes(cfg)
+        e.initialize(c, lam_init=lam0.copy())
+        active = e._device_rows is not None
+        ests = [e.learning() for _ in range(3)]
+        return (
+            active, ests,
+            float(np.asarray(e.state.lam, np.float64).sum()),
+            float(e.gamma.sum()),
+            float(np.asarray(e.state.alpha, np.float64).sum()),
+        )
+
+    act_a, ests_a, lam_a, g_a, al_a = run(2048)
+    act_b, ests_b, lam_b, g_b, al_b = run(0)
+    assert act_a and not act_b
+    assert ests_a == ests_b
+    assert lam_a == lam_b and al_a == al_b
+    np.testing.assert_allclose(g_a, g_b, rtol=1e-6)
+
+
+def test_device_rows_chunked_matches_host_repack():
+    """With a tiny E-step memory budget the capacity block splits into
+    several gather chunks; the layout must mirror build_vb_batches'
+    split exactly (RNG-stream + convergence-granularity parity), so the
+    two paths stay bitwise identical even when chunking kicks in."""
+    import numpy as np
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import StochasticVariationalBayes
+    from pylda_tpu.utils.config import LDAConfig
+
+    c, _, _ = synthetic_corpus(
+        num_docs=256, num_topics=8, num_types=6000, mean_doc_length=60,
+        seed=0,
+    )
+    lam0 = np.random.default_rng(9).gamma(100.0, 0.01, size=(8, 6000))
+
+    def run(budget):
+        cfg = LDAConfig(
+            number_of_topics=8, inference_mode="svi", batch_size=64,
+            tau0=16.0, kappa=0.7, inner_iterations=15, seed=0,
+            gamma_init="ones", svi_device_rows_budget_mb=budget,
+            estep_memory_budget_mb=0, doc_pad_multiple=16,
+        )
+        e = StochasticVariationalBayes(cfg)
+        e.initialize(c, lam_init=lam0.copy())
+        if budget:
+            _r, meta = e._device_rows
+            assert any(len(m["chunk_sizes"]) > 1 for m in meta), meta
+        ests = [e.learning() for _ in range(2)]
+        return ests, float(np.asarray(e.state.lam, np.float64).sum())
+
+    a = run(2048)
+    b = run(0)
+    assert a == b, (a, b)
