@@ -93,10 +93,13 @@ class StochasticVariationalBayes(VariationalBayes):
         self._jit_minibatch = jax.jit(self._minibatch_step)
         self._jit_epoch_scan = jax.jit(self._epoch_scan)
         self._device_rows = None
-        if self._svi_geometry is not None and not proc_local:
-            self._device_rows = self._build_device_rows(corpus)
-            if self._device_rows is not None:
-                self._jit_epoch_gather = jax.jit(self._epoch_scan_gather)
+        if not proc_local:
+            if self._svi_geometry is not None:
+                self._device_rows = self._build_device_rows(corpus)
+            elif not ragged:
+                self._device_rows = self._build_device_dense(corpus)
+        if self._device_rows is not None:
+            self._jit_epoch_gather = jax.jit(self._epoch_scan_gather)
         if proc_local:
             if self._mesh is None:
                 raise ValueError(
@@ -245,6 +248,45 @@ class StochasticVariationalBayes(VariationalBayes):
             rows_arrays.extend([arrs] * len(chunk_sizes))
         return rows_arrays, meta
 
+    def _build_device_dense(self, corpus: Corpus):
+        """Dense-layout analog of ``_build_device_rows``: the [D+1, V]
+        doc-term matrix (inert sentinel row at D) lives on device once;
+        epochs gather [batch, V] minibatches by row index.  Same
+        (rows_arrays, meta) contract — the identity CSR makes the shared
+        index-assembly and gather-scan code paths handle it verbatim."""
+        cfg = self._config
+        D, V = corpus.num_docs, corpus.num_types
+        if (D + 1) * V * 4 / 1e6 > cfg.svi_device_rows_budget_mb:
+            return None
+        if getattr(corpus, "docs", None) is None:
+            return None  # disk-backed streaming
+        if D == 0 or cfg.batch_size <= 0:
+            return None
+        b = corpus.to_dense()
+        counts = np.concatenate(
+            [b.counts, np.zeros((1, V), np.float32)]
+        )
+        dids = np.concatenate(
+            [np.asarray(b.doc_ids, np.int32), np.full((1,), -1, np.int32)]
+        )
+        arrs = {"counts": jnp.asarray(counts), "doc_ids": jnp.asarray(dids)}
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self._mesh, P())
+            arrs = {k: jax.device_put(v, rep) for k, v in arrs.items()}
+        cap = round_up(cfg.batch_size, cfg.doc_pad_multiple)
+        meta = [
+            dict(
+                width=V, cap=cap, sentinel=D,
+                doc_of_row=np.arange(D, dtype=np.int32),
+                csr_start=np.arange(D + 1, dtype=np.int64),
+                csr_rows=np.arange(D, dtype=np.int32),
+                chunk_sizes=[cap],
+            )
+        ]
+        return [arrs], meta
+
     def _epoch_index_stacks(self, epoch_seed: int):
         """Host-side index assembly for one device-gathered epoch:
         (idx_stacks [n, cap_j] per width, doc_ids_lists, rhos, scales),
@@ -309,11 +351,21 @@ class StochasticVariationalBayes(VariationalBayes):
             bl = []
             for arrs, idx in zip(rows_arrays, idxs):
                 dids = arrs["doc_ids"][idx]
+                mask = (dids >= 0).astype(lam.dtype)
+                if "counts" in arrs:  # dense layout
+                    bl.append(
+                        DenseBatch(
+                            counts=arrs["counts"][idx],
+                            mask=mask,
+                            doc_ids=dids,
+                        )
+                    )
+                    continue
                 bl.append(
                     RaggedBucket(
                         ids=arrs["ids"][idx],
                         cnts=arrs["cnts"][idx],
-                        mask=(dids >= 0).astype(lam.dtype),
+                        mask=mask,
                         doc_ids=dids,
                     )
                 )

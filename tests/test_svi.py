@@ -310,3 +310,43 @@ def test_device_rows_chunked_matches_host_repack():
     a = run(2048)
     b = run(0)
     assert a == b, (a, b)
+
+
+def test_device_rows_dense_matches_host_repack():
+    """Dense-layout device-resident minibatching ([D+1, V] matrix on
+    device, epochs gather [batch, V] rows by index) is bitwise identical
+    to the host per-epoch to_dense repack."""
+    import numpy as np
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import StochasticVariationalBayes
+    from pylda_tpu.utils.config import LDAConfig
+
+    c, _, _ = synthetic_corpus(
+        num_docs=250, num_topics=8, num_types=500, mean_doc_length=40,
+        seed=0,
+    )
+    lam0 = np.random.default_rng(9).gamma(100.0, 0.01, size=(8, 500))
+
+    def run(budget):
+        cfg = LDAConfig(
+            number_of_topics=8, inference_mode="svi", batch_size=64,
+            tau0=16.0, kappa=0.7, inner_iterations=15, seed=0,
+            gamma_init="ones", svi_device_rows_budget_mb=budget,
+            hyper_parameter_optimize_interval=2,
+        )
+        e = StochasticVariationalBayes(cfg)
+        e.initialize(c, lam_init=lam0.copy())
+        act = e._device_rows is not None
+        ests = [e.learning() for _ in range(3)]
+        return (
+            act, ests,
+            float(np.asarray(e.state.lam, np.float64).sum()),
+            float(e.gamma.sum()),
+        )
+
+    act_a, ests_a, lam_a, g_a = run(2048)
+    act_b, ests_b, lam_b, g_b = run(0)
+    assert act_a and not act_b
+    assert ests_a == ests_b and lam_a == lam_b
+    np.testing.assert_allclose(g_a, g_b, rtol=1e-6)
