@@ -100,6 +100,10 @@ class StochasticVariationalBayes(VariationalBayes):
                 self._device_rows = self._build_device_dense(corpus)
         if self._device_rows is not None:
             self._jit_epoch_gather = jax.jit(self._epoch_scan_gather)
+            self._jit_epochs_gather = jax.jit(
+                self._epochs_scan_gather,
+                static_argnames=("n", "hyper_interval"),
+            )
         if proc_local:
             if self._mesh is None:
                 raise ValueError(
@@ -337,38 +341,40 @@ class StochasticVariationalBayes(VariationalBayes):
             rhos.append((cfg.tau0 + self._t + i) ** (-cfg.kappa))
         return idx_stacks, doc_ids_lists, rhos, scales
 
+    def _gathered_buckets(self, rows_arrays, idxs, dtype):
+        """Minibatch buckets gathered from the device-resident corpus
+        rows (sentinel rows are inert: zero counts, doc id -1 ->
+        mask 0)."""
+        from pylda_tpu.corpus.corpus import RaggedBucket
+
+        bl = []
+        for arrs, idx in zip(rows_arrays, idxs):
+            dids = arrs["doc_ids"][idx]
+            mask = (dids >= 0).astype(dtype)
+            if "counts" in arrs:  # dense layout
+                bl.append(
+                    DenseBatch(
+                        counts=arrs["counts"][idx], mask=mask, doc_ids=dids
+                    )
+                )
+            else:
+                bl.append(
+                    RaggedBucket(
+                        ids=arrs["ids"][idx], cnts=arrs["cnts"][idx],
+                        mask=mask, doc_ids=dids,
+                    )
+                )
+        return bl
+
     def _epoch_scan_gather(
         self, lam, alpha, eta, key, rows_arrays, idx_stacks, rhos, scales
     ):
-        """Whole epoch in one lax.scan; each step GATHERS its minibatch
-        buckets from the device-resident corpus rows (sentinel rows are
-        inert: zero counts, doc id -1 -> mask 0)."""
-        from pylda_tpu.corpus.corpus import RaggedBucket
+        """Whole epoch in one lax.scan over gathered minibatches."""
 
         def body(carry, xs):
             lam = carry
             idxs, rho, scale, i = xs
-            bl = []
-            for arrs, idx in zip(rows_arrays, idxs):
-                dids = arrs["doc_ids"][idx]
-                mask = (dids >= 0).astype(lam.dtype)
-                if "counts" in arrs:  # dense layout
-                    bl.append(
-                        DenseBatch(
-                            counts=arrs["counts"][idx],
-                            mask=mask,
-                            doc_ids=dids,
-                        )
-                    )
-                    continue
-                bl.append(
-                    RaggedBucket(
-                        ids=arrs["ids"][idx],
-                        cnts=arrs["cnts"][idx],
-                        mask=mask,
-                        doc_ids=dids,
-                    )
-                )
+            bl = self._gathered_buckets(rows_arrays, idxs, lam.dtype)
             sub = jax.random.fold_in(key, i)
             lam_new, est, elog_sum, gammas = self._minibatch_step(
                 lam, alpha, eta, sub, bl, rho, scale
@@ -380,6 +386,78 @@ class StochasticVariationalBayes(VariationalBayes):
             body, lam, (tuple(idx_stacks), rhos, scales, jnp.arange(n))
         )
         return lam_final, ests, elog_sums.sum(axis=0), gammas
+
+    def _epochs_scan_gather(
+        self, state, rows_arrays, idx3, rhos2, scales2,
+        n: int, hyper_interval: int,
+    ):
+        """n FULL epochs in one dispatch (device-rows path): outer scan
+        over epochs (carrying lam/alpha/eta/key — the key chain splits
+        exactly like sequential ``learning()`` calls, so results are
+        bitwise identical), inner scan over that epoch's gathered
+        minibatches, scheduled Newton hyper updates at epoch
+        boundaries.  Per-document gammas are NOT accumulated (n·corpus
+        of them would sit in HBM for nothing) — ``.gamma`` lazily
+        recomputes at the final state."""
+        from pylda_tpu.models.base import LDAState
+
+        docs_seen = jnp.asarray(float(self._corpus.global_num_docs))
+
+        def epoch_body(carry, xs):
+            lam, alpha, eta, step = carry
+            idxs_e, rhos_e, scales_e, key = xs
+
+            def batch_body(lam, bxs):
+                idxs, rho, scale, i = bxs
+                bl = self._gathered_buckets(rows_arrays, idxs, lam.dtype)
+                sub = jax.random.fold_in(key, i)
+                lam_new, est, elog_sum, _gammas = self._minibatch_step(
+                    lam, alpha, eta, sub, bl, rho, scale
+                )
+                return lam_new, (est, elog_sum)
+
+            nb = rhos_e.shape[0]
+            lam, (ests, elog_sums) = jax.lax.scan(
+                batch_body, lam,
+                (idxs_e, rhos_e, scales_e, jnp.arange(nb)),
+            )
+            elog_sum = elog_sums.sum(axis=0)
+            step = step + 1
+            if hyper_interval > 0:
+                do_up = step % hyper_interval == 0
+                alpha = jax.lax.cond(
+                    do_up,
+                    lambda a: newton_dirichlet_mle(a, elog_sum, docs_seen),
+                    lambda a: a,
+                    alpha,
+                )
+                eta = jax.lax.cond(
+                    do_up,
+                    lambda e: newton_dirichlet_mle(
+                        e, _elog_lambda_sum(lam),
+                        jnp.asarray(self._config.number_of_topics),
+                    ),
+                    lambda e: e,
+                    eta,
+                )
+            return (lam, alpha, eta, step), ests
+
+        # The key chain: epoch e uses sub_e where (key, sub) = split —
+        # precompute the n subs (mirrors sequential learning() exactly).
+        keys, subs = [], []
+        k = state.key
+        for _ in range(n):
+            k, s = jax.random.split(k)
+            subs.append(s)
+        (lam, alpha, eta, _step), ests2 = jax.lax.scan(
+            epoch_body,
+            (state.lam, state.alpha, state.eta, state.step),
+            (tuple(idx3), rhos2, scales2, jnp.stack(subs)),
+        )
+        new_state = LDAState(
+            lam=lam, alpha=alpha, eta=eta, step=state.step + n, key=k
+        )
+        return new_state, ests2
 
     # -- host-side epoch batch construction ----------------------------------------
 
@@ -710,7 +788,115 @@ class StochasticVariationalBayes(VariationalBayes):
         return float(np.mean(ests))
 
     def learning_many(self, n: int):
-        return [self.learning() for _ in range(n)]
+        """n epochs.  On the device-rows path this is ONE dispatch: an
+        outer scan over epochs, inner scan over gathered minibatches,
+        with the key chain split exactly as n sequential ``learning()``
+        calls (bitwise-identical results; tests/test_svi.py pins it).
+        Other paths loop ``learning()``."""
+        if n <= 0:
+            return []
+        if self._device_rows is None:
+            return [self.learning() for _ in range(n)]
+        cfg = self._config
+        st = self.state
+        saved_t = self._t
+        idx_eps, rhos_eps, scales_eps = [], [], []
+        for e in range(n):
+            epoch_seed = (self._counter + e) * 100003 + cfg.seed
+            stacks = self._epoch_index_stacks(epoch_seed)
+            if stacks is None:  # rare capacity overflow: host fallback
+                self._t = saved_t
+                return [self.learning() for _ in range(n)]
+            idx, _dids, rhos, scales = stacks
+            idx_eps.append(idx)
+            rhos_eps.append(rhos)
+            scales_eps.append(scales)
+            self._t += len(rhos)
+        idx3 = [
+            np.stack([idx_eps[e][j] for e in range(n)])
+            for j in range(len(idx_eps[0]))
+        ]
+        idx_dev = [jnp.asarray(x) for x in idx3]
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            idx_dev = [
+                jax.device_put(
+                    x, NamedSharding(self._mesh, P(None, None, "data"))
+                )
+                for x in idx_dev
+            ]
+        rows_arrays, _meta = self._device_rows
+        new_state, ests2 = self._jit_epochs_gather(
+            st, rows_arrays, idx_dev,
+            jnp.asarray(np.asarray(rhos_eps), self._dtype),
+            jnp.asarray(np.asarray(scales_eps), self._dtype),
+            n=n,
+            hyper_interval=cfg.hyper_parameter_optimize_interval,
+        )
+        self._state = new_state
+        self._step_host = self._counter + n
+        self._set_gammas(None, None)  # lazy: .gamma re-runs the E-step
+        return [
+            float(np.mean(row))
+            for row in np.asarray(ests2, dtype=np.float64)
+        ]
+
+    # -- lazy gamma on the device-rows path ------------------------------------------
+
+    @property
+    def gamma(self):
+        if (
+            self._gamma_np is None
+            and self._gammas_dev is None
+            and self._device_rows is not None
+        ):
+            self._recompute_gammas_device()
+        return VariationalBayes.gamma.fget(self)
+
+    def _recompute_gammas_device(self) -> None:
+        """Refresh per-document gammas at the current state: one rho=0
+        epoch through the gather scan (lambda unchanged, every document
+        visited exactly once)."""
+        cfg = self._config
+        st = self.state
+        stacks = None
+        for trial in range(8):  # overflow is seed-dependent and ~3e-5
+            stacks = self._epoch_index_stacks(
+                (self._counter + 7 * trial) * 100003 + cfg.seed + trial
+            )
+            if stacks is not None:
+                break
+        if stacks is None:
+            raise RuntimeError(
+                "could not draw an epoch partition fitting the fixed "
+                "bucket geometry for the gamma refresh"
+            )
+        idx_stacks, doc_ids_lists, rhos, scales = stacks
+        rows_arrays, _meta = self._device_rows
+        idx_dev = [jnp.asarray(x) for x in idx_stacks]
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            idx_dev = [
+                jax.device_put(
+                    x, NamedSharding(self._mesh, P(None, "data"))
+                )
+                for x in idx_dev
+            ]
+        n = len(rhos)
+        key = jax.random.fold_in(st.key, 0x6A33A)
+        _lam, _ests, _elog, gammas_stacked = self._jit_epoch_gather(
+            st.lam, st.alpha, st.eta, key, rows_arrays, idx_dev,
+            jnp.zeros((n,), self._dtype),  # rho=0: lambda untouched
+            jnp.ones((n,), self._dtype),
+        )
+        self._gammas_dev = [
+            g
+            for i in range(n)
+            for g in jax.tree.map(lambda x: x[i], gammas_stacked)
+        ]
+        self._gamma_doc_ids = [d for dl in doc_ids_lists for d in dl]
 
     # -- per-phase timing (debug/observability surface) -----------------------------
 

@@ -350,3 +350,50 @@ def test_device_rows_dense_matches_host_repack():
     assert act_a and not act_b
     assert ests_a == ests_b and lam_a == lam_b
     np.testing.assert_allclose(g_a, g_b, rtol=1e-6)
+
+
+@pytest.mark.parametrize("num_types", [500, 6000])
+def test_fused_learning_many_matches_sequential(num_types):
+    """On the device-rows path learning_many(n) is ONE dispatch (outer
+    epoch scan, inner minibatch scan, key chain split exactly like n
+    sequential learning() calls): estimates and state must be bitwise
+    identical to the sequential loop, on both layouts."""
+    import numpy as np
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import StochasticVariationalBayes
+    from pylda_tpu.utils.config import LDAConfig
+
+    c, _, _ = synthetic_corpus(
+        num_docs=250, num_topics=8, num_types=num_types,
+        mean_doc_length=40, seed=0,
+    )
+    lam0 = np.random.default_rng(9).gamma(
+        100.0, 0.01, size=(8, num_types)
+    )
+
+    def eng():
+        cfg = LDAConfig(
+            number_of_topics=8, inference_mode="svi", batch_size=64,
+            tau0=16.0, kappa=0.7, inner_iterations=15, seed=0,
+            gamma_init="ones", hyper_parameter_optimize_interval=2,
+        )
+        e = StochasticVariationalBayes(cfg)
+        e.initialize(c, lam_init=lam0.copy())
+        assert e._device_rows is not None
+        return e
+
+    a = eng()
+    ests_seq = [a.learning() for _ in range(4)]
+    b = eng()
+    ests_fused = b.learning_many(4)
+    assert ests_seq == ests_fused
+    assert float(np.asarray(a.state.lam, np.float64).sum()) == float(
+        np.asarray(b.state.lam, np.float64).sum()
+    )
+    assert float(np.asarray(a.state.alpha, np.float64).sum()) == float(
+        np.asarray(b.state.alpha, np.float64).sum()
+    )
+    # The lazy gamma refresh covers every document at the final lambda.
+    g = b.gamma
+    assert g.shape == (250, 8) and np.isfinite(g).all()
