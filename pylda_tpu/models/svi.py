@@ -642,10 +642,11 @@ class StochasticVariationalBayes(VariationalBayes):
 
     # -- one epoch -------------------------------------------------------------------
 
-    def learning(self) -> float:
+    def learning(self, _prepared=None) -> float:
         """One epoch of minibatch updates; returns the mean per-batch
         corpus-scaled ELBO estimate (a stochastic bound estimate, not the
-        exact batch ELBO)."""
+        exact batch ELBO).  ``_prepared``: host-side epoch construction
+        already done (the prefetch pipeline in ``learning_many``)."""
         st = self.state
         cfg = self._config
         key, sub = jax.random.split(st.key)
@@ -653,7 +654,7 @@ class StochasticVariationalBayes(VariationalBayes):
 
         stacks = (
             self._epoch_index_stacks(epoch_seed)
-            if self._device_rows is not None
+            if self._device_rows is not None and _prepared is None
             else None
         )
         if stacks is not None:
@@ -691,7 +692,9 @@ class StochasticVariationalBayes(VariationalBayes):
             )
 
         batch_lists, doc_ids_lists, rhos, scales, proc_local = (
-            self._epoch_batches(epoch_seed)
+            _prepared
+            if _prepared is not None
+            else self._epoch_batches(epoch_seed)
         )
 
         lam, alpha = st.lam, st.alpha
@@ -796,7 +799,7 @@ class StochasticVariationalBayes(VariationalBayes):
         if n <= 0:
             return []
         if self._device_rows is None:
-            return [self.learning() for _ in range(n)]
+            return self._learning_many_prefetch(n)
         cfg = self._config
         st = self.state
         saved_t = self._t
@@ -841,6 +844,35 @@ class StochasticVariationalBayes(VariationalBayes):
             float(np.mean(row))
             for row in np.asarray(ests2, dtype=np.float64)
         ]
+
+    def _learning_many_prefetch(self, n: int):
+        """Pipelined epochs for the HOST-repack paths (streaming and
+        process-local corpora): a worker thread builds epoch e+1's
+        minibatch layouts while the device executes epoch e.  The
+        native tokenizer releases the GIL and jax blocking waits do
+        too, so parse/pack genuinely overlaps device compute —
+        streaming epochs are parse-dominated (~0.6 s host vs ~0.25 s
+        device at the wiki shape).  Construction stays strictly ordered
+        (epoch e+1 is only submitted after e's construction finished),
+        so the self._t schedule and per-host determinism are untouched."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        cfg = self._config
+        counter0 = self._counter
+        out = []
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(
+                self._epoch_batches, counter0 * 100003 + cfg.seed
+            )
+            for e in range(n):
+                prepared = fut.result()
+                if e + 1 < n:
+                    fut = ex.submit(
+                        self._epoch_batches,
+                        (counter0 + e + 1) * 100003 + cfg.seed,
+                    )
+                out.append(self.learning(_prepared=prepared))
+        return out
 
     # -- lazy gamma on the device-rows path ------------------------------------------
 

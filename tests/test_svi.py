@@ -397,3 +397,47 @@ def test_fused_learning_many_matches_sequential(num_types):
     # The lazy gamma refresh covers every document at the final lambda.
     g = b.gamma
     assert g.shape == (250, 8) and np.isfinite(g).all()
+
+
+def test_prefetch_learning_many_matches_sequential_streaming(tmp_path):
+    """The host-repack learning_many pipelines epoch construction on a
+    worker thread (streaming epochs are parse-dominated); results must
+    stay bitwise identical to sequential learning() calls."""
+    import os
+
+    import numpy as np
+
+    from pylda_tpu.corpus.streaming import StreamingCorpus
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import StochasticVariationalBayes
+    from pylda_tpu.utils.config import LDAConfig
+
+    c, _, _ = synthetic_corpus(
+        num_docs=200, num_topics=8, num_types=6000, mean_doc_length=40,
+        seed=0,
+    )
+    p = os.path.join(str(tmp_path), "doc.dat")
+    with open(p, "w") as f:
+        for d in c.docs:
+            f.write(" ".join(c.vocab[int(t)] for t in d) + "\n")
+
+    def eng():
+        s = StreamingCorpus(p, c.vocab)
+        cfg = LDAConfig(
+            number_of_topics=8, inference_mode="svi", batch_size=64,
+            tau0=16.0, kappa=0.7, inner_iterations=15, seed=0,
+            gamma_init="ones",
+        )
+        e = StochasticVariationalBayes(cfg)
+        e.initialize(s, c.vocab)
+        assert e._device_rows is None  # streaming: host-repack path
+        return e
+
+    a = eng()
+    seq = [a.learning() for _ in range(3)]
+    b = eng()
+    pre = b.learning_many(3)
+    assert seq == pre
+    assert float(np.asarray(a.state.lam, np.float64).sum()) == float(
+        np.asarray(b.state.lam, np.float64).sum()
+    )
