@@ -444,7 +444,7 @@ class StochasticVariationalBayes(VariationalBayes):
 
         # The key chain: epoch e uses sub_e where (key, sub) = split —
         # precompute the n subs (mirrors sequential learning() exactly).
-        keys, subs = [], []
+        subs = []
         k = state.key
         for _ in range(n):
             k, s = jax.random.split(k)
