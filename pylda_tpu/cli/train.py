@@ -96,11 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "cdf", "gumbel", "race"],
                    help="batched categorical draw in the Gibbs/hybrid "
                         "position scan: 'auto' picks by K (inverse-CDF "
-                        "below the measured K~400 crossover, "
-                        "exponential races above it — "
-                        "scripts/sampler_ab.py); 'cdf', 'gumbel' "
-                        "(log-domain categorical, original), 'race' "
-                        "force one")
+                        "below the measured K~400 crossover, log-domain "
+                        "gumbel above it — scripts/sampler_ab.py); "
+                        "'cdf', 'gumbel' (original formulation), "
+                        "'race' (exponential races) force one")
     p.add_argument("--sampler_block_positions", type=int, default=None,
                    help="positions sampled per within-doc scan step "
                         "(Gibbs/hybrid): 1 = exact sequential; B > 1 = "

@@ -211,7 +211,7 @@ class Inferencer:
         shared metric.  Cross-ENGINE quality comparisons must use this;
         reference-parity checks use ``perplexity``."""
         _ll, gamma = self.inference(test_corpus)
-        theta = gamma / gamma.sum(axis=1, keepdims=True)
+        theta = (gamma / gamma.sum(axis=1, keepdims=True)).astype(np.float64)
         if self._state is not None and getattr(self, "_n_kv", None) is None:
             from pylda_tpu.parallel.mesh import host_gather
 
@@ -219,13 +219,37 @@ class Inferencer:
             beta = lam / lam.sum(axis=1, keepdims=True)
         else:
             beta = self.topic_word_distribution()
-        logp = np.log(theta @ beta + 1e-30)  # [D, V]
+        # Sparse, document-blocked scoring: only the OBSERVED (doc, type)
+        # pairs are evaluated — a dense [D, V] theta @ beta would cost
+        # ~52 GB of host f64 at the config-5 study shapes.  Blocks are
+        # bounded by observed entries so transient memory stays
+        # ~entries_per_block x K.
+        K = beta.shape[0]
+        entries_budget = max(1, int(256e6 / (8 * K)))
         tot_ll = 0.0
         tot_n = 0
-        for d in range(test_corpus.num_docs):
-            ids, cnts = test_corpus.doc_unique(d)
-            tot_ll += float((cnts * logp[d, ids]).sum())
-            tot_n += int(cnts.sum())
+        d = 0
+        D = test_corpus.num_docs
+        while d < D:
+            ids_l, cnts_l, rows_l = [], [], []
+            entries = 0
+            while d < D and (entries == 0 or entries < entries_budget):
+                ids, cnts = test_corpus.doc_unique(d)
+                ids_l.append(ids)
+                cnts_l.append(cnts)
+                rows_l.append(np.full((ids.size,), d, dtype=np.int64))
+                entries += ids.size
+                d += 1
+            if not entries:
+                continue
+            all_ids = np.concatenate(ids_l)
+            all_cnts = np.concatenate(cnts_l).astype(np.float64)
+            rows = np.concatenate(rows_l)
+            p = np.einsum(
+                "ek,ek->e", theta[rows], beta[:, all_ids].T
+            )
+            tot_ll += float((all_cnts * np.log(p + 1e-30)).sum())
+            tot_n += int(all_cnts.sum())
         return float(np.exp(-tot_ll / max(1, tot_n)))
 
     # -- topics --------------------------------------------------------------------

@@ -230,7 +230,10 @@ def aligned_width_histogram(
     n_bins = cap // align
     out = np.zeros((n_bins,), dtype=np.int64)
     small = u[u <= cap]
-    bins = (small + align - 1) // align - 1
+    # Clip covers cap not a multiple of align: docs with u in
+    # (align*n_bins, cap] land in the last bin instead of indexing out
+    # of bounds.
+    bins = np.minimum((small + align - 1) // align - 1, n_bins - 1)
     np.add.at(out, bins, 1)
     big = u[u > cap]
     out[-1] += int((-(-big // cap)).sum())

@@ -58,16 +58,51 @@ def estep_cost_model(
     K = cfg.number_of_topics
     cdt = cfg.compute_dtype
     fpk = peaks.flops(cdt)
+    V = getattr(engine, "_vocab", None)
+    V = len(V) if V else 0
 
     out: Dict[str, dict] = {}
     batches = getattr(engine, "_batches", None) or []
     slots = 0
     dense_dv = 0
+    seq_slots = 0
     for b in batches:
         if hasattr(b, "ids"):
             slots += b.ids.shape[0] * b.ids.shape[1]
+        elif hasattr(b, "tokens"):  # sequence layout (sampling engines)
+            seq_slots += b.tokens.shape[0] * b.tokens.shape[1]
         else:
             dense_dv += b.counts.shape[0] * b.counts.shape[1]
+
+    if seq_slots:
+        # Sampled local step (hybrid): per sweep, the per-position
+        # conditional p = (ndk + alpha) * phi[:, w] costs ~6 VPU
+        # flops/slot/K (gather + mul + two one_hot count updates), and
+        # the cdf sampler adds a [*, K] x [K, K] prefix-sum matmul —
+        # 2*K MXU flops per slot.  A deliberate LOWER bound (scheduling
+        # and scan overhead excluded).
+        sampler = cfg.resolved_topic_sampler()
+        vpu_ms = 6 * seq_slots * K / peaks.vpu_flops * 1e3
+        mxu_ms = (
+            2 * seq_slots * K * K / fpk * 1e3 if sampler == "cdf" else 0.0
+        )
+        hbm_ms = seq_slots * 8 / peaks.hbm_bytes * 1e3
+        out["sweeps_per_sweep"] = {
+            "flops": 6 * seq_slots * K
+            + (2 * seq_slots * K * K if sampler == "cdf" else 0),
+            "hbm_bytes": seq_slots * 8,
+            "bound_ms": max(vpu_ms + mxu_ms, hbm_ms),
+            "bound": "vpu+mxu" if vpu_ms + mxu_ms > hbm_ms else "hbm",
+        }
+        if V and K:
+            b_ = 3 * K * V * 4
+            out["elog_beta"] = {
+                "flops": 0,
+                "hbm_bytes": b_,
+                "bound_ms": b_ / peaks.hbm_bytes * 1e3,
+                "bound": "hbm",
+            }
+        return out
 
     # -- sweeps ------------------------------------------------------------
     itemsize = 2 if cdt == "bfloat16" else 4
@@ -100,8 +135,6 @@ def estep_cost_model(
 
     # -- sstats ------------------------------------------------------------
     plan = getattr(engine, "_sstats_plan", None)
-    V = getattr(engine, "_vocab", None)
-    V = len(V) if V else 0
     if plan is not None:
         D = plan["num_docs"]
         c_bytes = sum(
@@ -157,6 +190,13 @@ def measured_sweep_counts(engine) -> list:
     from pylda_tpu.ops.estep import estep_dense, estep_ragged_gamma
 
     cfg = engine._config
+    if any(hasattr(b, "tokens") for b in engine._batches):
+        # Sequence layout (hybrid): the sampled local step runs a FIXED
+        # burn_in + num_samples sweeps — no convergence threshold.
+        return [
+            cfg.burn_in_sweeps + cfg.number_of_samples
+            for _ in engine._batches
+        ]
     st = engine.state
     key = jax.random.fold_in(st.key, 0x5EE9)
 
@@ -198,6 +238,14 @@ def _batch_sweep_bound_ms(b, cfg, peaks: ChipPeaks) -> float:
     if hasattr(b, "ids"):
         slots = b.ids.shape[0] * b.ids.shape[1]
         compute_ms = 4 * slots * K / peaks.vpu_flops * 1e3
+        hbm_ms = slots * 8 / peaks.hbm_bytes * 1e3
+    elif hasattr(b, "tokens"):  # sequence layout (sampling engines)
+        slots = b.tokens.shape[0] * b.tokens.shape[1]
+        compute_ms = 6 * slots * K / peaks.vpu_flops * 1e3
+        if cfg.resolved_topic_sampler() == "cdf":
+            compute_ms += (
+                2 * slots * K * K / peaks.flops(cfg.compute_dtype) * 1e3
+            )
         hbm_ms = slots * 8 / peaks.hbm_bytes * 1e3
     else:
         slots = b.counts.shape[0] * b.counts.shape[1]

@@ -26,7 +26,10 @@ MEASURED (v5e, V=10k, 30-sweep chained scan, best of 3; 2026-08-19):
 
 The cdf prefix sum is a [D,K]x[K,K] matmul per position (O(K^2)), so it
 inverts between K=300 and K=512 — topic_sampler="auto" resolves to cdf
-at K <= 384 and race above (utils/config.resolved_topic_sampler).
+at K <= 384 (utils/config.resolved_topic_sampler).  A later
+re-measurement at the shipping B=8 position blocks moved the
+above-crossover pick to GUMBEL: blocks amortise its per-position
+threefry draw (K=1000, B=8: gumbel 25.9 ms, race 26.2, cdf 29.0).
 Joint-LL trajectories agreed in-band at every K (e.g. K=100 final LL
 -5551904 / -5551626 / -5550349 for gumbel/cdf/race).
 """

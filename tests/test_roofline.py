@@ -108,3 +108,36 @@ def test_utilisation_bounds():
     assert np.isclose(
         utilisation(4.0, ChipPeaks().hbm_bytes * 0 + 1.0), 0.25
     )
+
+
+def test_hybrid_sequence_layout_report():
+    """The sampling engines' sequence layout has its own cost model
+    (sampled local step; fixed burn_in+samples sweep counts) — the
+    report must work rather than AttributeError on SequenceBucket."""
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import Hybrid
+    from pylda_tpu.utils.roofline import (
+        measured_sweep_counts,
+        pass_bound_ms,
+        roofline_report,
+    )
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=64, num_topics=8, num_types=300, mean_doc_length=30,
+        seed=0,
+    )
+    eng = Hybrid(LDAConfig(
+        number_of_topics=8, inference_mode="hybrid", seed=0,
+        bucket_sizes=(32, 64), number_of_samples=3, burn_in_sweeps=2,
+    ))
+    eng.initialize(corpus)
+    counts = measured_sweep_counts(eng)
+    assert counts == [5] * len(eng._batches)  # burn_in + samples, fixed
+    model = estep_cost_model(eng)
+    assert "sweeps_per_sweep" in model and model["sweeps_per_sweep"][
+        "bound_ms"
+    ] > 0
+    assert pass_bound_ms(eng) > 0
+    rep = roofline_report(eng, repeats=1)
+    assert "iteration" in rep
+    assert 0.0 <= rep["iteration"]["utilisation"] <= 1.0
