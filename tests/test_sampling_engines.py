@@ -208,6 +208,38 @@ def test_gibbs_topic_recovery():
     assert best.mean() >= 6.5, best
 
 
+def test_hybrid_topic_recovery():
+    """Planted-topic recovery for the third engine family (SURVEY.md
+    section 4 item 3 asks it of all three): the hybrid's sampled local
+    step + VB global step must still recover the planted topics'
+    top-word sets."""
+    K, V = 4, 80
+    corpus, true_beta, _ = synthetic_corpus(
+        num_docs=200, num_topics=K, num_types=V,
+        mean_doc_length=80, alpha=0.08, beta_concentration=0.03, seed=13,
+    )
+    eng = Hybrid(
+        LDAConfig(number_of_topics=K, inference_mode="hybrid",
+                  alpha_alpha=0.1, alpha_beta=0.01,
+                  doc_pad_multiple=8, bucket_sizes=(128, 256),
+                  number_of_samples=5, burn_in_sweeps=5, seed=1)
+    )
+    eng.initialize(corpus)
+    eng.learning_many(30)
+    est = eng.topic_word_distribution()
+    true_top = np.argsort(-true_beta, axis=1)[:, :10]
+    est_top = np.argsort(-est, axis=1)[:, :10]
+    overlaps = np.zeros((K, K))
+    for i in range(K):
+        for j in range(K):
+            overlaps[i, j] = len(
+                set(true_top[i].tolist()) & set(est_top[j].tolist())
+            )
+    best = overlaps.max(axis=1)
+    assert (best >= 4).all(), best
+    assert best.mean() >= 6.5, best
+
+
 def test_gibbs_gamma_surface():
     """gamma = alpha + n_dk in corpus order; row sums conserve tokens
     (sum gamma - D*sum(alpha) == corpus tokens), matching the VB-family
