@@ -246,11 +246,13 @@ class Hybrid(VariationalBayes):
 
     def _run_estep(
         self, batches, lam, alpha, key,
-        dense_chunks=None, docs_mask=None, num_docs=None,
+        dense_chunks=None, docs_mask=None, num_docs=None, gamma0s=None,
     ):
         """Sampled local step over every sequence bucket (cold-start
         chains — the held-out inference path and the
-        hybrid_persistent_z=False training path).
+        hybrid_persistent_z=False training path).  ``gamma0s`` is part
+        of the VB E-step contract but unused here: the sampled local
+        step initialises topic ASSIGNMENTS, not gamma.
 
         Same return contract as the VB E-step: (gammas, sstats,
         token_score, theta_score, elog_sum)."""

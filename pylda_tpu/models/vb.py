@@ -73,13 +73,15 @@ def _gamma_init(key, shape, dtype, mode):
 def _vb_dense_batch(
     counts, mask, lam, alpha, key,
     inner_iterations, convergence_threshold, eps, gamma_init_mode="gamma",
-    compute_dtype="float32",
+    compute_dtype="float32", gamma0=None,
 ):
     """E-step + per-batch ELBO terms for one dense chunk (one jit round)."""
     exp_elog_beta = exp_dirichlet_expectation(lam)
-    gamma0 = _gamma_init(
-        key, (counts.shape[0], alpha.shape[0]), lam.dtype, gamma_init_mode
-    )
+    if gamma0 is None:
+        gamma0 = _gamma_init(
+            key, (counts.shape[0], alpha.shape[0]), lam.dtype,
+            gamma_init_mode,
+        )
     gamma, sstats, token_score, sweeps = estep_dense(
         counts, gamma0, exp_elog_beta, alpha,
         inner_iterations=inner_iterations,
@@ -102,12 +104,13 @@ def _vb_dense_batch(
 def _vb_ragged_batch(
     ids, cnts, mask, lam, alpha, key,
     num_types, inner_iterations, convergence_threshold, eps,
-    gamma_init_mode="gamma", compute_dtype="float32",
+    gamma_init_mode="gamma", compute_dtype="float32", gamma0=None,
 ):
     exp_elog_beta = exp_dirichlet_expectation(lam)
-    gamma0 = _gamma_init(
-        key, (ids.shape[0], alpha.shape[0]), lam.dtype, gamma_init_mode
-    )
+    if gamma0 is None:
+        gamma0 = _gamma_init(
+            key, (ids.shape[0], alpha.shape[0]), lam.dtype, gamma_init_mode
+        )
     gamma, sstats, token_score, sweeps = estep_ragged(
         ids, cnts, gamma0, exp_elog_beta, alpha,
         num_types=num_types,
@@ -290,7 +293,7 @@ class VariationalBayes(Inferencer):
 
     def _run_estep_hybrid(
         self, batches, lam, alpha, key, dense_chunks, docs_mask,
-        num_docs: int,
+        num_docs: int, gamma0s=None,
     ):
         """Ragged sweeps + scatter-free dense sufficient statistics.
 
@@ -307,11 +310,14 @@ class VariationalBayes(Inferencer):
         eeb = exp_dirichlet_expectation(lam)
         rows, row_ids = [], []
         for i, b in enumerate(batches):
-            sub = jax.random.fold_in(key, i)
-            gamma0 = _gamma_init(
-                sub, (b.ids.shape[0], alpha.shape[0]), lam.dtype,
-                cfg.gamma_init,
-            )
+            if gamma0s is not None:
+                gamma0 = gamma0s[i]
+            else:
+                sub = jax.random.fold_in(key, i)
+                gamma0 = _gamma_init(
+                    sub, (b.ids.shape[0], alpha.shape[0]), lam.dtype,
+                    cfg.gamma_init,
+                )
             g = self._ragged_gamma_fixed_point(b, gamma0, eeb, alpha)
             rows.append(g)
             row_ids.append(jnp.asarray(b.doc_ids))
@@ -389,14 +395,26 @@ class VariationalBayes(Inferencer):
     def _run_estep(
         self, batches: List[layouts.VBBatch], lam, alpha, key,
         dense_chunks=None, docs_mask=None, num_docs: Optional[int] = None,
+        gamma0s=None,
     ):
-        """Run the E-step over every batch; returns device accumulators."""
+        """Run the E-step over every batch; returns device accumulators.
+
+        ``gamma0s`` (optional, one array per batch) supplies precomputed
+        gamma initialisations; when absent each batch draws its own from
+        ``key``.  The fused multi-iteration scan passes a single set
+        drawn OUTSIDE the scan body: the per-iteration redraw was pure
+        scan-body RNG cost (~2.0 ms/pass of threefry + Gamma-rejection
+        while_loops at the flagship shape — 20% of the measured pass,
+        scripts/profile_sweep.py device trace), and the init is an
+        arbitrary cold start whose distribution, not its per-iteration
+        freshness, is what matters."""
         cfg = self._config
         if dense_chunks is not None:
             return self._run_estep_hybrid(
                 batches, lam, alpha, key, dense_chunks, docs_mask,
                 num_docs if num_docs is not None
                 else self._sstats_plan["num_docs"],
+                gamma0s=gamma0s,
             )
         sstats = None
         token_score = jnp.zeros((), dtype=self._dtype)
@@ -405,10 +423,11 @@ class VariationalBayes(Inferencer):
         gammas = []
         for i, b in enumerate(batches):
             sub = jax.random.fold_in(key, i)
+            g0 = gamma0s[i] if gamma0s is not None else None
             if isinstance(b, DenseBatch) and cfg.use_pallas == "always":
                 from pylda_tpu.ops.pallas_estep import pallas_estep_dense
 
-                gamma0 = _gamma_init(
+                gamma0 = g0 if g0 is not None else _gamma_init(
                     sub, (b.counts.shape[0], alpha.shape[0]), lam.dtype,
                     cfg.gamma_init,
                 )
@@ -425,14 +444,14 @@ class VariationalBayes(Inferencer):
                 g, ss, tok, th, el, _ = _vb_dense_batch(
                     b.counts, b.mask, lam, alpha, sub,
                     cfg.inner_iterations, cfg.convergence_threshold, cfg.eps,
-                    cfg.gamma_init, cfg.compute_dtype,
+                    cfg.gamma_init, cfg.compute_dtype, gamma0=g0,
                 )
             else:
                 g, ss, tok, th, el, _ = _vb_ragged_batch(
                     b.ids, b.cnts, b.mask, lam, alpha, sub,
                     len(self._vocab), cfg.inner_iterations,
                     cfg.convergence_threshold, cfg.eps, cfg.gamma_init,
-                    cfg.compute_dtype,
+                    cfg.compute_dtype, gamma0=g0,
                 )
             sstats = ss if sstats is None else sstats + ss
             token_score = token_score + tok
@@ -441,11 +460,31 @@ class VariationalBayes(Inferencer):
             gammas.append(g)
         return gammas, sstats, token_score, theta_score, elog_sum
 
+    def _gamma0s_for(self, batches, num_topics: int, dtype, key):
+        """One gamma init per batch (drawn once per dispatch; see
+        ``_iterations_scan``).  Returns None for layouts whose E-step
+        does not take a gamma init (the hybrid engine's sequence
+        buckets initialise topic assignments instead)."""
+        if any(
+            not (hasattr(b, "ids") or hasattr(b, "counts")) for b in batches
+        ):
+            return None
+        out = []
+        for i, b in enumerate(batches):
+            sub = jax.random.fold_in(key, i)
+            rows = b.ids.shape[0] if hasattr(b, "ids") else b.counts.shape[0]
+            out.append(
+                _gamma_init(
+                    sub, (rows, num_topics), dtype, self._config.gamma_init
+                )
+            )
+        return out
+
     # -- one full VB iteration, fully on device -----------------------------------
 
     def _iteration(
         self, state: LDAState, batches, dense_chunks, docs_mask,
-        update_hypers: bool,
+        update_hypers: bool, gamma0s=None,
     ):
         """One batch-VB iteration as a pure function of (state, batches)."""
         cfg = self._config
@@ -453,6 +492,7 @@ class VariationalBayes(Inferencer):
         gammas, sstats, token_score, theta_score, elog_sum = self._run_estep(
             batches, state.lam, state.alpha, sub,
             dense_chunks=dense_chunks, docs_mask=docs_mask,
+            gamma0s=gamma0s,
         )
         elbo = token_score + theta_score + beta_elbo(state.lam, state.eta)
         lam_new = state.eta[None, :] + sstats
@@ -482,7 +522,18 @@ class VariationalBayes(Inferencer):
 
         Hyper updates run via lax.cond on the carried step counter, so the
         scan is iteration-for-iteration identical to n ``learning()``
-        calls."""
+        calls — up to the gamma-init RNG stream: the scan draws ONE set
+        of per-batch gamma inits outside the body and reuses it for all
+        n iterations.  A per-iteration redraw inside the body measured
+        ~2.0 ms/pass of pure threefry + Gamma-rejection device time at
+        the flagship shape (scripts/profile_sweep.py), and the cold init
+        is arbitrary — its distribution matters, its freshness does not
+        (warm-starting, the thing that would change dynamics, is ruled
+        out separately; see CLAUDE.md round-2 leads)."""
+        gamma0s = self._gamma0s_for(
+            batches, state.alpha.shape[0], state.lam.dtype,
+            jax.random.fold_in(state.key, 0x60A4),
+        )
 
         def body(carry, _):
             st = carry
@@ -492,19 +543,20 @@ class VariationalBayes(Inferencer):
                 def with_up(s):
                     return self._iteration(
                         s, batches, dense_chunks, docs_mask,
-                        update_hypers=True,
+                        update_hypers=True, gamma0s=gamma0s,
                     )[:2]
 
                 def without_up(s):
                     return self._iteration(
                         s, batches, dense_chunks, docs_mask,
-                        update_hypers=False,
+                        update_hypers=False, gamma0s=gamma0s,
                     )[:2]
 
                 new_st, elbo = jax.lax.cond(do_up, with_up, without_up, st)
             else:
                 new_st, elbo, _ = self._iteration(
-                    st, batches, dense_chunks, docs_mask, update_hypers=False
+                    st, batches, dense_chunks, docs_mask,
+                    update_hypers=False, gamma0s=gamma0s,
                 )
             return new_st, elbo
 

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Op-level attribution of the flagship fused pass via a device trace.
+
+VERDICT round-3 item 1: the headline pass (9.7 ms) sits ~6x above the
+analytic roofline and the repo had no per-op attribution of the sweep
+phase (factor gather vs FMA vs while_loop overhead vs one-hot glue).
+The tunnel makes host-side wall timing garbage, but the DEVICE trace is
+collected on-chip: capture one fused learning_many under
+jax.profiler.trace and aggregate XLA op self-times from the xplane
+proto (tensorboard_plugin_profile is in the image).
+
+Usage: python scripts/profile_sweep.py [--inner N] [--n PASSES]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+from collections import defaultdict
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pylda_tpu.corpus.synthetic import synthetic_corpus
+from pylda_tpu.models import VariationalBayes
+from pylda_tpu.utils.config import LDAConfig
+
+
+def capture(eng, n, logdir):
+    eng.learning_many(n)  # compile + warm
+    with jax.profiler.trace(logdir):
+        elbos = eng.learning_many(n)
+        jax.block_until_ready(eng.state.lam)
+    return elbos
+
+
+def xplane_op_table(logdir, top=40):
+    """Aggregate per-op device times from the captured .xplane.pb.
+
+    The tensorboard_plugin_profile converter is broken in this image
+    (stale protobuf stubs + a _pywrap_profiler ABI mismatch), so parse
+    the xplane proto directly: the '/device:TPU:0' plane's 'XLA Ops'
+    line carries one event per executed HLO op with picosecond
+    durations — ground truth from the chip, immune to the tunnel's
+    dispatch tax."""
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(
+        os.path.join(logdir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not paths:
+        raise SystemExit(f"no xplane under {logdir}")
+    xs = xplane_pb2.XSpace()
+    with open(paths[0], "rb") as f:
+        xs.ParseFromString(f.read())
+    per_op = defaultdict(lambda: [0.0, 0])  # name -> [total_ps, count]
+    total_ps = 0.0
+    span = [None, None]
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        meta = plane.event_metadata
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = meta[ev.metadata_id].name
+                per_op[name][0] += ev.duration_ps
+                per_op[name][1] += 1
+                total_ps += ev.duration_ps
+                t0 = line.timestamp_ns * 1e3 + ev.offset_ps
+                t1 = t0 + ev.duration_ps
+                span[0] = t0 if span[0] is None else min(span[0], t0)
+                span[1] = t1 if span[1] is None else max(span[1], t1)
+    rows = sorted(per_op.items(), key=lambda kv: -kv[1][0])
+    out = {
+        "device_busy_ms": total_ps / 1e9,
+        "span_ms": (span[1] - span[0]) / 1e9 if span[0] is not None else 0.0,
+        "ops": [
+            {
+                "op": name,
+                "total_ms": round(ps / 1e9, 4),
+                "count": n,
+                "pct": round(100 * ps / total_ps, 2),
+            }
+            for name, (ps, n) in rows[:top]
+        ],
+    }
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inner", type=int, default=20)
+    ap.add_argument("--n", type=int, default=16)
+    ap.add_argument("--topics", type=int, default=100)
+    ap.add_argument("--types", type=int, default=10_000)
+    ap.add_argument("--docs", type=int, default=4096)
+    ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=args.docs, num_topics=args.topics, num_types=args.types,
+        mean_doc_length=120.0, seed=0,
+    )
+    cfg = LDAConfig(
+        number_of_topics=args.topics, inference_mode="vb",
+        inner_iterations=args.inner, convergence_threshold=0.0, seed=0,
+        compute_dtype=args.compute_dtype,
+    )
+    eng = VariationalBayes(cfg)
+    eng.initialize(corpus)
+
+    logdir = tempfile.mkdtemp(prefix="sweeptrace_", dir="/tmp")
+    capture(eng, args.n, logdir)
+    print(f"trace in {logdir}")
+
+    data = xplane_op_table(logdir)
+    if isinstance(data, (bytes, str)):
+        try:
+            table = json.loads(data)
+        except Exception:
+            out = os.path.join(logdir, "opstats.raw")
+            with open(out, "wb") as f:
+                f.write(data if isinstance(data, bytes) else data.encode())
+            print(f"unparsed tool payload saved to {out}")
+            return
+    else:
+        table = data
+    print(json.dumps(table, indent=1, default=str)[:8000])
+
+
+if __name__ == "__main__":
+    main()
