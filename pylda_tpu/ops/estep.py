@@ -29,7 +29,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from pylda_tpu.ops.dirichlet import exp_dirichlet_expectation
+from pylda_tpu.ops.dirichlet import (
+    exp_dirichlet_expectation,
+    exp_dirichlet_expectation_fast,
+)
 
 
 @functools.partial(
@@ -82,12 +85,18 @@ def estep_dense(
         i, gamma, exp_etheta, _ = carry
         gamma_new = sweep(gamma, exp_etheta)
         maxchange = jnp.abs(gamma_new - gamma).mean(axis=-1).max()
-        return i + 1, gamma_new, exp_dirichlet_expectation(gamma_new), maxchange
+        return (
+            i + 1, gamma_new,
+            exp_dirichlet_expectation_fast(gamma_new), maxchange,
+        )
 
     exp_etheta0 = exp_dirichlet_expectation(gamma_init)
-    i, gamma, exp_etheta, _ = jax.lax.while_loop(
+    i, gamma, _, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), gamma_init, exp_etheta0, jnp.inf)
     )
+    # Exported statistics use the EXACT Dirichlet expectation at the
+    # converged gamma (once per call; the fast form is loop-only).
+    exp_etheta = exp_dirichlet_expectation(gamma)
 
     phinorm = (
         jnp.matmul(exp_etheta.astype(cdt), eeb_c, preferred_element_type=acc)
@@ -154,7 +163,10 @@ def estep_ragged_gamma(
             preferred_element_type=acc_dtype,
         )
         maxchange = jnp.abs(gamma_new - gamma).mean(axis=-1).max()
-        return i + 1, gamma_new, exp_dirichlet_expectation(gamma_new), maxchange
+        return (
+            i + 1, gamma_new,
+            exp_dirichlet_expectation_fast(gamma_new), maxchange,
+        )
 
     exp_etheta0 = exp_dirichlet_expectation(gamma_init)
     i, gamma, _exp_etheta, _ = jax.lax.while_loop(
@@ -261,12 +273,18 @@ def estep_ragged(
             preferred_element_type=acc_dtype,
         )
         maxchange = jnp.abs(gamma_new - gamma).mean(axis=-1).max()
-        return i + 1, gamma_new, exp_dirichlet_expectation(gamma_new), maxchange
+        return (
+            i + 1, gamma_new,
+            exp_dirichlet_expectation_fast(gamma_new), maxchange,
+        )
 
     exp_etheta0 = exp_dirichlet_expectation(gamma_init)
-    i, gamma, exp_etheta, _ = jax.lax.while_loop(
+    i, gamma, _, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), gamma_init, exp_etheta0, jnp.inf)
     )
+    # Exported statistics use the EXACT Dirichlet expectation at the
+    # converged gamma (once per call; the fast form is loop-only).
+    exp_etheta = exp_dirichlet_expectation(gamma)
 
     phinorm = phinorm_of(exp_etheta)
     ratio = cnts / phinorm  # [D, T]
