@@ -67,13 +67,13 @@ def _gamma_init(key, shape, dtype, mode):
     jax.jit,
     static_argnames=(
         "inner_iterations", "convergence_threshold", "eps", "gamma_init_mode",
-        "compute_dtype",
+        "compute_dtype", "stall_patience",
     ),
 )
 def _vb_dense_batch(
     counts, mask, lam, alpha, key,
     inner_iterations, convergence_threshold, eps, gamma_init_mode="gamma",
-    compute_dtype="float32", gamma0=None,
+    compute_dtype="float32", gamma0=None, stall_patience=0,
 ):
     """E-step + per-batch ELBO terms for one dense chunk (one jit round)."""
     exp_elog_beta = exp_dirichlet_expectation(lam)
@@ -88,6 +88,7 @@ def _vb_dense_batch(
         convergence_threshold=convergence_threshold,
         eps=eps,
         compute_dtype=compute_dtype,
+        stall_patience=stall_patience,
     )
     theta_score = theta_elbo(gamma, alpha, mask)
     elog_sum = (dirichlet_expectation(gamma) * mask[:, None]).sum(axis=0)
@@ -98,13 +99,14 @@ def _vb_dense_batch(
     jax.jit,
     static_argnames=(
         "num_types", "inner_iterations", "convergence_threshold", "eps",
-        "gamma_init_mode", "compute_dtype",
+        "gamma_init_mode", "compute_dtype", "stall_patience",
     ),
 )
 def _vb_ragged_batch(
     ids, cnts, mask, lam, alpha, key,
     num_types, inner_iterations, convergence_threshold, eps,
     gamma_init_mode="gamma", compute_dtype="float32", gamma0=None,
+    stall_patience=0,
 ):
     exp_elog_beta = exp_dirichlet_expectation(lam)
     if gamma0 is None:
@@ -118,6 +120,7 @@ def _vb_ragged_batch(
         convergence_threshold=convergence_threshold,
         eps=eps,
         compute_dtype=compute_dtype,
+        stall_patience=stall_patience,
     )
     theta_score = theta_elbo(gamma, alpha, mask)
     elog_sum = (dirichlet_expectation(gamma) * mask[:, None]).sum(axis=0)
@@ -389,6 +392,7 @@ class VariationalBayes(Inferencer):
             convergence_threshold=cfg.convergence_threshold,
             eps=cfg.eps,
             compute_dtype=cfg.compute_dtype,
+            stall_patience=cfg.estep_stall_patience,
         )
         return g
 
@@ -445,6 +449,7 @@ class VariationalBayes(Inferencer):
                     b.counts, b.mask, lam, alpha, sub,
                     cfg.inner_iterations, cfg.convergence_threshold, cfg.eps,
                     cfg.gamma_init, cfg.compute_dtype, gamma0=g0,
+                    stall_patience=cfg.estep_stall_patience,
                 )
             else:
                 g, ss, tok, th, el, _ = _vb_ragged_batch(
@@ -452,6 +457,7 @@ class VariationalBayes(Inferencer):
                     len(self._vocab), cfg.inner_iterations,
                     cfg.convergence_threshold, cfg.eps, cfg.gamma_init,
                     cfg.compute_dtype, gamma0=g0,
+                    stall_patience=cfg.estep_stall_patience,
                 )
             sstats = ss if sstats is None else sstats + ss
             token_score = token_score + tok

@@ -38,7 +38,8 @@ from pylda_tpu.ops.dirichlet import (
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "inner_iterations", "convergence_threshold", "eps", "compute_dtype"
+        "inner_iterations", "convergence_threshold", "eps", "compute_dtype",
+        "stall_patience",
     ),
 )
 def estep_dense(
@@ -50,6 +51,7 @@ def estep_dense(
     convergence_threshold: float = 1e-5,
     eps: float = 1e-30,
     compute_dtype: str = "float32",
+    stall_patience: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dense doc-term E-step: pure matmuls on the MXU.
 
@@ -75,24 +77,34 @@ def estep_dense(
         )
         return gamma_new
 
+    use_stall = stall_patience > 0 and convergence_threshold > 0.0
+
     def cond(carry):
-        i, _gamma, _exp_etheta, maxchange = carry
-        return jnp.logical_and(
-            i < inner_iterations, maxchange > convergence_threshold
-        )
+        i, _gamma, _exp_etheta, best, age = carry
+        active = best > convergence_threshold
+        if use_stall:
+            active = jnp.logical_and(active, age < stall_patience)
+        return jnp.logical_and(i < inner_iterations, active.any())
 
     def body(carry):
-        i, gamma, exp_etheta, _ = carry
+        i, gamma, exp_etheta, best, age = carry
         gamma_new = sweep(gamma, exp_etheta)
-        maxchange = jnp.abs(gamma_new - gamma).mean(axis=-1).max()
+        change = jnp.abs(gamma_new - gamma).mean(axis=-1)
+        age = jnp.where(change < 0.99 * best, 0, age + 1)
         return (
             i + 1, gamma_new,
-            exp_dirichlet_expectation_fast(gamma_new), maxchange,
+            exp_dirichlet_expectation_fast(gamma_new),
+            jnp.minimum(best, change), age,
         )
 
     exp_etheta0 = exp_dirichlet_expectation(gamma_init)
-    i, gamma, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), gamma_init, exp_etheta0, jnp.inf)
+    rows = gamma_init.shape[0]
+    i, gamma, _, _, _ = jax.lax.while_loop(
+        cond, body, (
+            jnp.int32(0), gamma_init, exp_etheta0,
+            jnp.full((rows,), jnp.inf, dtype=gamma_init.dtype),
+            jnp.zeros((rows,), dtype=jnp.int32),
+        )
     )
     # Exported statistics use the EXACT Dirichlet expectation at the
     # converged gamma (once per call; the fast form is loop-only).
@@ -112,10 +124,91 @@ def estep_dense(
     return gamma, sstats, token_score, i
 
 
+def _ragged_sweep_loop(
+    ids, cnts, gamma_init, exp_elog_beta, alpha,
+    inner_iterations, convergence_threshold, eps, cdt, acc_dtype,
+    stall_patience=0,
+):
+    """Batched gamma fixed point over one (ids, cnts) block.
+
+    Exit criterion: a row is DONE when its mean|dgamma| falls below the
+    threshold — the reference's own per-document test — OR when it has
+    gone ``stall_patience`` consecutive sweeps without improving its
+    best change by at least 1% ("stalled").  The loop exits when every
+    row is done (or at the ``inner_iterations`` cap).  The 1%/sweep
+    bar deliberately only catches near-ZERO progress (the bf16 noise
+    floor, where change oscillates around a constant): genuinely slow
+    fixed points (2-5%/sweep plateaus, common at small K) keep their
+    full sweep budget — a 5% bar measured a 2.2% ELBO regression vs
+    the f64 oracle on exactly those.
+
+    Why stall detection exists (measured on v5e at the flagship shape):
+    XLA demotes these VPU batched-matvec contractions to bf16 operands
+    (and keeps the gathered B block VMEM-resident in bf16 — forcing f32
+    storage measured 18.6 vs 6.3 ms/pass because B spills to HBM).
+    Under the bf16-rounded map, ~40% of rows limit-cycle at mean|dgamma|
+    ~3e-3 once lambda sharpens, so a 1e-5 threshold alone NEVER fires
+    at steady state and every row pays the full 50-sweep cap — while
+    p50 of rows reaches its floor by sweep ~11.  A stalled row is at
+    the bf16-map noise floor: more sweeps do not move it (this is the
+    accuracy every round shipped, passing all parity gates).  Damped
+    averaging (g <- (g+F(g))/2 on oscillating rows) and a two-phase
+    f32-polish compaction were both built and measured slower or
+    non-convergent; stall-exit keeps the fast bf16 sweeps and simply
+    stops paying for no-op cycles.
+
+    ``stall_patience=0`` disables stall detection (pure threshold/cap
+    semantics — also forced when convergence_threshold == 0, which the
+    pinned-sweep parity tests rely on)."""
+    B = exp_elog_beta.T[ids].astype(cdt)
+    use_stall = stall_patience > 0 and convergence_threshold > 0.0
+
+    def cond(carry):
+        i, _gamma, _exp_etheta, best, age = carry
+        active = best > convergence_threshold
+        if use_stall:
+            active = jnp.logical_and(active, age < stall_patience)
+        return jnp.logical_and(i < inner_iterations, active.any())
+
+    def body(carry):
+        i, gamma, exp_etheta, best, age = carry
+        phinorm = (
+            jnp.einsum(
+                "dk,dtk->dt", exp_etheta.astype(cdt), B,
+                preferred_element_type=acc_dtype,
+            )
+            + eps
+        )
+        gamma_new = alpha[None, :] + exp_etheta * jnp.einsum(
+            "dt,dtk->dk", (cnts / phinorm).astype(cdt), B,
+            preferred_element_type=acc_dtype,
+        )
+        change = jnp.abs(gamma_new - gamma).mean(axis=-1)
+        improved = change < 0.99 * best
+        age_new = jnp.where(improved, 0, age + 1)
+        best_new = jnp.minimum(best, change)
+        return (
+            i + 1, gamma_new,
+            exp_dirichlet_expectation_fast(gamma_new), best_new, age_new,
+        )
+
+    # Exact expectation at the init (once per call): keeps this loop
+    # trajectory identical to estep_ragged's for pinned sweep counts.
+    exp_etheta0 = exp_dirichlet_expectation(gamma_init)
+    rows = gamma_init.shape[0]
+    best0 = jnp.full((rows,), jnp.inf, dtype=gamma_init.dtype)
+    age0 = jnp.zeros((rows,), dtype=jnp.int32)
+    i, gamma, _exp_etheta, _best, _age = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), gamma_init, exp_etheta0, best0, age0)
+    )
+    return i, gamma
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "inner_iterations", "convergence_threshold", "eps", "compute_dtype",
+        "stall_patience",
     ),
 )
 def estep_ragged_gamma(
@@ -128,6 +221,7 @@ def estep_ragged_gamma(
     convergence_threshold: float = 1e-5,
     eps: float = 1e-30,
     compute_dtype: str = "float32",
+    stall_patience: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Ragged fixed point ONLY — returns (gamma, sweeps_used).
 
@@ -135,44 +229,17 @@ def estep_ragged_gamma(
     the hybrid sstats path (``estep_dense_sstats``) computes them from
     the converged per-document gamma against the corpus-static dense
     counts matrix as two MXU matmuls, which measures ~4x faster than the
-    row segment-sum scatter on TPU (scripts/sstats_variants.py)."""
+    row segment-sum scatter on TPU (scripts/sstats_variants.py).
+    ``stall_patience`` — see ``_ragged_sweep_loop``."""
     acc_dtype = jnp.promote_types(gamma_init.dtype, jnp.float32)
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else acc_dtype
-    B = exp_elog_beta.T[ids].astype(cdt)  # [D, T, K]
-
-    def phinorm_of(exp_etheta):
-        return (
-            jnp.einsum(
-                "dk,dtk->dt", exp_etheta.astype(cdt), B,
-                preferred_element_type=acc_dtype,
-            )
-            + eps
-        )
-
-    def cond(carry):
-        i, _gamma, _exp_etheta, maxchange = carry
-        return jnp.logical_and(
-            i < inner_iterations, maxchange > convergence_threshold
-        )
-
-    def body(carry):
-        i, gamma, exp_etheta, _ = carry
-        phinorm = phinorm_of(exp_etheta)
-        gamma_new = alpha[None, :] + exp_etheta * jnp.einsum(
-            "dt,dtk->dk", (cnts / phinorm).astype(cdt), B,
-            preferred_element_type=acc_dtype,
-        )
-        maxchange = jnp.abs(gamma_new - gamma).mean(axis=-1).max()
-        return (
-            i + 1, gamma_new,
-            exp_dirichlet_expectation_fast(gamma_new), maxchange,
-        )
-
-    exp_etheta0 = exp_dirichlet_expectation(gamma_init)
-    i, gamma, _exp_etheta, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), gamma_init, exp_etheta0, jnp.inf)
+    i, gamma = _ragged_sweep_loop(
+        ids, cnts, gamma_init, exp_elog_beta, alpha,
+        inner_iterations, convergence_threshold, eps, cdt, acc_dtype,
+        stall_patience=stall_patience,
     )
     return gamma, i
+
 
 
 @functools.partial(
@@ -217,7 +284,7 @@ def estep_dense_sstats(
     jax.jit,
     static_argnames=(
         "num_types", "inner_iterations", "convergence_threshold", "eps",
-        "compute_dtype",
+        "compute_dtype", "stall_patience",
     ),
 )
 def estep_ragged(
@@ -231,6 +298,7 @@ def estep_ragged(
     convergence_threshold: float = 1e-5,
     eps: float = 1e-30,
     compute_dtype: str = "float32",
+    stall_patience: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Ragged (ids, counts) E-step for large vocabularies.
 
@@ -259,28 +327,38 @@ def estep_ragged(
             + eps
         )
 
+    use_stall = stall_patience > 0 and convergence_threshold > 0.0
+
     def cond(carry):
-        i, _gamma, _exp_etheta, maxchange = carry
-        return jnp.logical_and(
-            i < inner_iterations, maxchange > convergence_threshold
-        )
+        i, _gamma, _exp_etheta, best, age = carry
+        active = best > convergence_threshold
+        if use_stall:
+            active = jnp.logical_and(active, age < stall_patience)
+        return jnp.logical_and(i < inner_iterations, active.any())
 
     def body(carry):
-        i, gamma, exp_etheta, _ = carry
+        i, gamma, exp_etheta, best, age = carry
         phinorm = phinorm_of(exp_etheta)
         gamma_new = alpha[None, :] + exp_etheta * jnp.einsum(
             "dt,dtk->dk", (cnts / phinorm).astype(cdt), B,
             preferred_element_type=acc_dtype,
         )
-        maxchange = jnp.abs(gamma_new - gamma).mean(axis=-1).max()
+        change = jnp.abs(gamma_new - gamma).mean(axis=-1)
+        age = jnp.where(change < 0.99 * best, 0, age + 1)
         return (
             i + 1, gamma_new,
-            exp_dirichlet_expectation_fast(gamma_new), maxchange,
+            exp_dirichlet_expectation_fast(gamma_new),
+            jnp.minimum(best, change), age,
         )
 
     exp_etheta0 = exp_dirichlet_expectation(gamma_init)
-    i, gamma, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), gamma_init, exp_etheta0, jnp.inf)
+    rows = gamma_init.shape[0]
+    i, gamma, _, _, _ = jax.lax.while_loop(
+        cond, body, (
+            jnp.int32(0), gamma_init, exp_etheta0,
+            jnp.full((rows,), jnp.inf, dtype=gamma_init.dtype),
+            jnp.zeros((rows,), dtype=jnp.int32),
+        )
     )
     # Exported statistics use the EXACT Dirichlet expectation at the
     # converged gamma (once per call; the fast form is loop-only).

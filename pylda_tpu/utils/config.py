@@ -157,6 +157,18 @@ class LDAConfig:
     # chunked so each [rows, V] f32 chunk stays under this (bounds the
     # [rows, V] phinorm temporary of each estep_dense_sstats call).
     sstats_dense_budget_mb: int = 512
+    # Stall-aware convergence for the batched gamma fixed point
+    # (ops/estep._ragged_sweep_loop docstring has the full measured
+    # story).  A row is done when mean|dgamma| < convergence_threshold
+    # (the reference's per-document test) OR when it has gone this many
+    # consecutive sweeps without improving its best change by >= 1% —
+    # i.e. it sits at the bf16-rounded map's noise floor, where XLA's
+    # TPU dot demotion leaves ~40% of rows limit-cycling at ~3e-3 once
+    # lambda sharpens, and extra sweeps buy nothing (measured: the
+    # 1e-5 threshold NEVER fires at steady state without this, so
+    # every row paid the full 50-sweep cap while p50 of rows was done
+    # by sweep ~11).  0 disables (pure threshold/cap semantics).
+    estep_stall_patience: int = 6
     # E-step batch memory budget: rows per chunk are capped so the
     # [rows, T, K] (ragged) / [rows, V] (dense) work arrays stay under
     # this.  Shared by the host repack (models/layouts.build_vb_batches)
@@ -276,6 +288,8 @@ class LDAConfig:
             raise ValueError(f"unknown topic_sampler: {self.topic_sampler}")
         if self.sampler_block_positions < 1:
             raise ValueError("sampler_block_positions must be >= 1")
+        if self.estep_stall_patience < 0:
+            raise ValueError("estep_stall_patience must be >= 0")
         if self.bucket_policy not in ("auto", "fixed"):
             raise ValueError(f"unknown bucket_policy: {self.bucket_policy}")
         if not self.bucket_sizes or any(b <= 0 for b in self.bucket_sizes):

@@ -216,6 +216,7 @@ def measured_sweep_counts(engine) -> list:
                     inner_iterations=cfg.inner_iterations,
                     convergence_threshold=cfg.convergence_threshold,
                     eps=cfg.eps, compute_dtype=cfg.compute_dtype,
+                    stall_patience=cfg.estep_stall_patience,
                 )
             else:
                 _g, _ss, _tok, s = estep_dense(
@@ -226,7 +227,7 @@ def measured_sweep_counts(engine) -> list:
                 )
             out.append(s)
         return out
-    return [int(s) for s in jax.device_get(counts(st.lam, st.alpha, key))]
+    return [float(s) for s in jax.device_get(counts(st.lam, st.alpha, key))]
 
 
 def _batch_sweep_bound_ms(b, cfg, peaks: ChipPeaks) -> float:

@@ -100,6 +100,15 @@ def xplane_op_table(logdir, top=40):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--inner", type=int, default=20)
+    ap.add_argument(
+        "--thr", type=float, default=0.0,
+        help="convergence threshold (0 pins the sweep count at --inner)",
+    )
+    ap.add_argument(
+        "--warm", type=int, default=0,
+        help="extra warm iterations before the traced window (puts the "
+        "converged-threshold run into its steady-state sweep counts)",
+    )
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--topics", type=int, default=100)
     ap.add_argument("--types", type=int, default=10_000)
@@ -114,11 +123,13 @@ def main():
     )
     cfg = LDAConfig(
         number_of_topics=args.topics, inference_mode="vb",
-        inner_iterations=args.inner, convergence_threshold=0.0, seed=0,
+        inner_iterations=args.inner, convergence_threshold=args.thr, seed=0,
         compute_dtype=args.compute_dtype,
     )
     eng = VariationalBayes(cfg)
     eng.initialize(corpus)
+    if args.warm:
+        eng.learning_many(args.warm)
 
     logdir = tempfile.mkdtemp(prefix="sweeptrace_", dir="/tmp")
     capture(eng, args.n, logdir)

@@ -187,10 +187,19 @@ def test_svi_doc_sharded_matches_single_device(corpus, lam_init):
 
 def test_svi_vocab_sharded_matches(corpus, lam_init):
     """SVI with lambda vocab-sharded on "model" (the K=1000/V=100k
-    HBM-pressure layout of BASELINE config 5)."""
-    ref, ref_ests = _run_svi(corpus, lam_init)
+    HBM-pressure layout of BASELINE config 5).
+
+    stall_patience=0 pins the pure threshold/cap exit: the stall exit's
+    per-row 1%-improvement comparisons sit on knife edges, and vocab
+    sharding reorders the contraction reductions by ulps — enough to
+    flip one row's exit sweep and fail an arithmetic-parity tolerance
+    that the sharded MATH itself meets."""
+    ref, ref_ests = _run_svi(corpus, lam_init, estep_stall_patience=0)
     mesh = make_mesh(shape=(4, 2))
-    sh, sh_ests = _run_svi(corpus, lam_init, mesh=mesh, shard_vocab=True)
+    sh, sh_ests = _run_svi(
+        corpus, lam_init, mesh=mesh, shard_vocab=True,
+        estep_stall_patience=0,
+    )
     for a, b in zip(ref_ests, sh_ests):
         assert abs(a - b) / abs(a) < 1e-4, (ref_ests, sh_ests)
     np.testing.assert_allclose(
