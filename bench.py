@@ -149,10 +149,11 @@ def main() -> int:
     )
     eng = VariationalBayes(cfg)
     eng.initialize(corpus)
-    # 64 fused iterations per dispatch: production training runs long
+    # 128 fused iterations per dispatch: production training runs long
     # fused scans (that IS the design), and at n=16 the ~30 ms tunnel
-    # dispatch tax alone is ~1.9 ms/pass of pure measurement artifact.
-    iters = 64
+    # dispatch tax alone is ~1.9 ms/pass of pure measurement artifact
+    # (still ~0.47 ms/pass at n=64 against today's 6.4 ms pass).
+    iters = 128
     eng.learning_many(iters)  # compile + warm (excluded; scan length is
     # a static shape, so warm with the same n as the timed call)
     t0 = time.time()
