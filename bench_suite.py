@@ -45,6 +45,16 @@ def _throughput(eng, corpus, iters, repeats=3):
     return corpus.num_docs / dt, objs[-1], dt
 
 
+def _mfu(eng, seconds):
+    """Roofline utilisation for the row (never sink a bench row)."""
+    try:
+        from pylda_tpu.utils.roofline import suite_mfu
+
+        return suite_mfu(eng, seconds)
+    except Exception:
+        return None
+
+
 def _epoch_time(eng, repeats=3, epochs=4):
     """Per-epoch time on the PRODUCTION path: the CLI trains via
     learning_many, which on the SVI device-rows path fuses multiple
@@ -99,7 +109,7 @@ def config1(restarts: int = 5, iters: int = 60):
         train, vocab,
     )
     eng_si.initialize(train, vocab, lam_init=lam0)
-    docs_sec, elbo, _ = _throughput(eng_si, train, 16)
+    docs_sec, elbo, dt = _throughput(eng_si, train, 16)
     eng_si.learning_many(30)
     pe_si = eng_si.perplexity(test)
     for _ in range(62):
@@ -108,6 +118,10 @@ def config1(restarts: int = 5, iters: int = 60):
     return {
         "config": "1: batch VB K=10 bundled corpus",
         "docs_per_sec": round(docs_sec, 1),
+        "docs_per_sec_note": "dispatch_bound_unstable (tiny corpus; the "
+                             "load-bearing content of this row is the "
+                             "parity gate)",
+        "mfu": _mfu(eng_si, dt),
         "final_elbo": round(elbo, 1),
         "perplexity": round(pe, 3),
         "oracle_perplexity": round(po, 3),
@@ -136,11 +150,12 @@ def config2():
              hyper_parameter_optimize_interval=5, seed=0),
         corpus,
     )
-    docs_sec, elbo, _ = _throughput(eng, corpus, 10)
+    docs_sec, elbo, dt = _throughput(eng, corpus, 10)
     alpha = np.asarray(eng.state.alpha)
     return {
         "config": "2: batch VB K=50 NIPS-shaped + hyperopt",
         "docs_per_sec": round(docs_sec, 1),
+        "mfu": _mfu(eng, dt),
         "final_elbo": round(elbo, 1),
         "alpha_minmax": [round(float(alpha.min()), 5),
                          round(float(alpha.max()), 5)],
@@ -148,14 +163,28 @@ def config2():
 
 
 def config3():
-    """Collapsed Gibbs + hybrid, K=100, 20-Newsgroups-shaped corpus."""
+    """Collapsed Gibbs + hybrid, K=100, 20-Newsgroups-shaped corpus.
+
+    Quality protocol (round-3 verdict item 2): scored on a TRUE
+    held-out draw from the SAME planted beta (the
+    scripts/sampling_quality_study.py pattern — the old
+    ``corpus.subset(range(256))`` was 256 TRAINING documents, so any
+    movement confounded memorization), and cross-engine comparisons use
+    the convention-neutral point-estimate metric next to each engine's
+    native one (the VB family's native score is an E[log beta] lower
+    bound, Jensen-penalised per low-count word; Gibbs scores with point
+    estimates — the study resolved the apparent 3x hybrid "gap" as
+    exactly this).  Gate: hybrid point-estimate ppl <= 1.1x Gibbs."""
     from pylda_tpu.corpus.synthetic import synthetic_corpus
 
-    corpus, _, _ = synthetic_corpus(
+    corpus, beta_true, _ = synthetic_corpus(
         num_docs=4096, num_topics=100, num_types=30_000,
         mean_doc_length=120.0, seed=2,
     )
-    test = corpus.subset(range(256))
+    test, _, _ = synthetic_corpus(
+        num_docs=512, num_topics=100, num_types=30_000,
+        mean_doc_length=120.0, seed=102, beta=beta_true,
+    )
     out = {"config": "3: Gibbs/hybrid K=100 20news-shaped"}
     for mode in ("gibbs", "hybrid"):
         eng = _engine(
@@ -163,11 +192,19 @@ def config3():
                  number_of_samples=5, burn_in_sweeps=3),
             corpus,
         )
-        docs_sec, obj, _ = _throughput(eng, corpus, 4)
+        docs_sec, obj, dt = _throughput(eng, corpus, 4)
         eng.learning_many(40)  # train to a meaningful state before eval
         out[f"{mode}_docs_per_sec"] = round(docs_sec, 1)
+        out[f"{mode}_mfu"] = _mfu(eng, dt)
         out[f"{mode}_objective"] = round(obj, 1)
-        out[f"{mode}_perplexity"] = round(eng.perplexity(test), 2)
+        out[f"{mode}_heldout_ppl_native"] = round(eng.perplexity(test), 2)
+        out[f"{mode}_heldout_point_ppl"] = round(
+            eng.point_estimate_perplexity(test), 2
+        )
+    out["hybrid_point_ppl_within_1p1x_gibbs"] = bool(
+        out["hybrid_heldout_point_ppl"]
+        <= 1.1 * out["gibbs_heldout_point_ppl"]
+    )
     return out
 
 
@@ -175,9 +212,13 @@ def config4():
     """Stochastic VI, K=200, Wikipedia-100k-shaped stream, single host."""
     from pylda_tpu.corpus.synthetic import synthetic_corpus
 
-    corpus, _, _ = synthetic_corpus(
+    corpus, beta_true, _ = synthetic_corpus(
         num_docs=16_384, num_topics=200, num_types=50_000,
         mean_doc_length=150.0, seed=3,
+    )
+    test, _, _ = synthetic_corpus(
+        num_docs=512, num_topics=200, num_types=50_000,
+        mean_doc_length=150.0, seed=103, beta=beta_true,
     )
     eng = _engine(
         dict(number_of_topics=200, inference_mode="svi", batch_size=1024,
@@ -188,8 +229,12 @@ def config4():
     return {
         "config": "4: SVI K=200 V=50k wiki-shaped",
         "docs_per_sec": round(corpus.num_docs / dt, 1),
+        "mfu": _mfu(eng, dt),
         "epoch_seconds": round(dt, 2),
         "elbo_estimate": round(est, 1),
+        # ~16 epochs of training by this point (warm + timed runs).
+        "heldout_ppl_native": round(eng.perplexity(test), 2),
+        "heldout_point_ppl": round(eng.point_estimate_perplexity(test), 2),
     }
 
 
@@ -201,9 +246,13 @@ def config5():
     + tests/test_sharding.py on a simulated mesh."""
     from pylda_tpu.corpus.synthetic import synthetic_corpus
 
-    corpus, _, _ = synthetic_corpus(
+    corpus, beta_true, _ = synthetic_corpus(
         num_docs=8_192, num_topics=1000, num_types=100_000,
         mean_doc_length=150.0, seed=4,
+    )
+    test, _, _ = synthetic_corpus(
+        num_docs=256, num_topics=1000, num_types=100_000,
+        mean_doc_length=150.0, seed=104, beta=beta_true,
     )
     eng = _engine(
         dict(number_of_topics=1000, inference_mode="svi", batch_size=2048,
@@ -214,8 +263,11 @@ def config5():
     return {
         "config": "5: SVI K=1000 V=100k (single-chip; sharding via dryrun)",
         "docs_per_sec": round(corpus.num_docs / dt, 1),
+        "mfu": _mfu(eng, dt),
         "epoch_seconds": round(dt, 2),
         "elbo_estimate": round(est, 1),
+        "heldout_ppl_native": round(eng.perplexity(test), 2),
+        "heldout_point_ppl": round(eng.point_estimate_perplexity(test), 2),
         "lambda_bytes": 1000 * 100_000 * 4,
     }
 

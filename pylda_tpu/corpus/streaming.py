@@ -6,11 +6,22 @@ HBM").
 in host RAM; fine for batch VB, wrong for the corpora SVI exists for.
 ``StreamingCorpus`` keeps only the byte offset of each line of
 ``doc.dat`` in memory (8 bytes/document — a 100M-doc corpus costs 800 MB
-of offsets and zero document storage) and parses just the requested
-documents when a minibatch layout is built, via the same native
-tokenizer.  Host RAM therefore never holds the corpus: per-epoch cost is
-one streamed re-parse of each minibatch, overlapping with device compute
-in the SVI loop.
+of offsets and zero document storage) and serves just the requested
+documents when a minibatch layout is built.
+
+Parsed-row sidecar (round-3 verdict item 3): "larger than RAM" does not
+mean "re-tokenize forever".  The indexing pass already reads every
+document once; it now also writes the parsed token-id stream to a
+binary sidecar next to ``doc.dat`` (raw int32 ids + int64 per-doc
+offsets + per-doc unique counts + a validity fingerprint of the text
+file and vocabulary).  Epoch construction then reads rows from the
+memmapped sidecar — bit-identical ids by construction (they come from
+the same parse), with zero per-epoch tokenizer work; the steady-state
+streaming epoch was measured ~0.6 s of host parse against ~0.25 s of
+device compute before this.  When the directory is unwritable (or
+``row_cache="off"``), the original streamed re-parse path is used
+unchanged.  A valid existing sidecar also skips the indexing re-parse
+entirely on reopen.
 
 Duck-types the slice of the ``Corpus`` surface the SVI engine uses:
 ``num_docs / num_types / num_tokens / global_num_docs /
@@ -23,7 +34,10 @@ exposes only this host's contiguous document block (``process_local``,
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import tempfile
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -31,9 +45,12 @@ import numpy as np
 from pylda_tpu.corpus.corpus import Corpus, DenseBatch, RaggedBucket
 from pylda_tpu.corpus.vocabulary import Vocabulary
 
+_ROWCACHE_VERSION = 1
+
 
 class StreamingCorpus:
-    """Offset-indexed view of a doc.dat file; documents parse on demand."""
+    """Offset-indexed view of a doc.dat file; documents parse on demand
+    (or read from the parsed-row sidecar — module docstring)."""
 
     def __init__(
         self,
@@ -41,7 +58,10 @@ class StreamingCorpus:
         vocab: Vocabulary,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        row_cache: str = "auto",
     ):
+        if row_cache not in ("auto", "off"):
+            raise ValueError(f"unknown row_cache mode: {row_cache}")
         self.path = os.path.abspath(path)
         self.vocab = vocab
         offsets = [0]
@@ -64,41 +84,77 @@ class StreamingCorpus:
         # Pass 2: exact post-OOV token count + per-doc unique-type count
         # of THIS host's block (chunked parse keeps RAM bounded; token
         # semantics match Corpus.num_tokens — local under process
-        # sharding).  The native tokenizer's flat output is reduced with
-        # vectorised NumPy (pylda_tpu.native.parse_stats) and the vocab
-        # hash table is built ONCE and reused across chunks.
+        # sharding).  When the row sidecar is enabled, the same pass
+        # also writes the parsed token-id stream; a VALID existing
+        # sidecar skips the re-parse entirely.
+        self._row_ids = None  # memmap int32 token stream (sidecar)
+        self._row_offsets = None  # int64 [num_docs + 1]
+        if row_cache == "auto" and self._load_rowcache():
+            return
+        self._index_scan(write_cache=(row_cache == "auto"))
+
+    # -- indexing pass + sidecar --------------------------------------------
+
+    def _index_scan(self, write_cache: bool) -> None:
         from pylda_tpu.native import (
             HAVE_NATIVE,
             NativeVocabTable,
-            parse_stats,
+            parse_lines,
         )
 
-        table = NativeVocabTable(vocab.types) if HAVE_NATIVE else None
-        tok_chunks: List[np.ndarray] = []
+        table = NativeVocabTable(self.vocab.types) if HAVE_NATIVE else None
         uniq_chunks: List[np.ndarray] = []
+        total_tokens = 0
+        offsets: List[np.ndarray] = []
+        tmp_f = tmp_path = None
+        if write_cache:
+            try:
+                fd, tmp_path = tempfile.mkstemp(
+                    prefix=os.path.basename(self.path) + ".rowcache.",
+                    dir=os.path.dirname(self.path),
+                )
+                tmp_f = os.fdopen(fd, "wb")
+            except OSError:
+                tmp_f = None  # unwritable directory: plain re-parse mode
 
         def _consume(lines: List[str]) -> None:
-            toks, uniqs = parse_stats(lines, vocab, table=table)
-            tok_chunks.append(toks)
-            uniq_chunks.append(uniqs)
-
-        with open(self.path, "rb") as f:
-            f.seek(self._offsets[self._lo])
-            chunk: List[str] = []
-            for g in range(self._lo, self._hi):
-                chunk.append(
-                    f.read(
-                        self._offsets[g + 1] - self._offsets[g]
-                    ).decode("utf-8", errors="replace")
+            nonlocal total_tokens
+            docs = parse_lines(lines, self.vocab, table=table)
+            uniq_chunks.append(
+                np.asarray(
+                    [np.unique(d).size for d in docs], dtype=np.int32
                 )
-                if len(chunk) >= 4096:
+            )
+            lens = np.asarray([d.size for d in docs], dtype=np.int64)
+            offsets.append(lens)
+            total_tokens += int(lens.sum())
+            if tmp_f is not None:
+                for d in docs:
+                    tmp_f.write(
+                        np.ascontiguousarray(d, dtype=np.int32).tobytes()
+                    )
+
+        try:
+            with open(self.path, "rb") as f:
+                f.seek(self._offsets[self._lo])
+                chunk: List[str] = []
+                for g in range(self._lo, self._hi):
+                    chunk.append(
+                        f.read(
+                            self._offsets[g + 1] - self._offsets[g]
+                        ).decode("utf-8", errors="replace")
+                    )
+                    if len(chunk) >= 4096:
+                        _consume(chunk)
+                        chunk = []
+                if chunk:
                     _consume(chunk)
-                    chunk = []
-            if chunk:
-                _consume(chunk)
-        self._local_tokens = int(
-            sum(int(t.sum()) for t in tok_chunks)
-        )
+        except Exception:
+            if tmp_f is not None:
+                tmp_f.close()
+                os.unlink(tmp_path)
+            raise
+        self._local_tokens = total_tokens
         # Per-doc unique counts (4 bytes/doc — within the streaming RAM
         # contract): feeds the SVI fixed-bucket capacity planner without
         # another corpus pass.
@@ -106,6 +162,86 @@ class StreamingCorpus:
             np.concatenate(uniq_chunks)
             if uniq_chunks
             else np.zeros((0,), np.int32)
+        )
+        row_offsets = np.zeros((self.num_docs + 1,), dtype=np.int64)
+        if offsets:
+            np.cumsum(np.concatenate(offsets), out=row_offsets[1:])
+        if tmp_f is not None:
+            try:
+                tmp_f.close()
+                self._publish_rowcache(tmp_path, row_offsets)
+            except OSError:
+                try:
+                    os.unlink(tmp_path)
+                except OSError:
+                    pass
+
+    def _rowcache_dir(self) -> str:
+        return (
+            f"{self.path}.rowcache.v{_ROWCACHE_VERSION}"
+            f".{self._lo}-{self._hi}"
+        )
+
+    def _fingerprint(self) -> dict:
+        st = os.stat(self.path)
+        h = hashlib.sha1()
+        for t in self.vocab.types:
+            h.update(t.encode("utf-8"))
+            h.update(b"\n")
+        return {
+            "version": _ROWCACHE_VERSION,
+            "doc_dat_bytes": st.st_size,
+            "doc_dat_mtime_ns": st.st_mtime_ns,
+            "lo": self._lo,
+            "hi": self._hi,
+            "vocab_sha1": h.hexdigest(),
+            "vocab_size": len(self.vocab),
+        }
+
+    def _publish_rowcache(self, ids_tmp: str, row_offsets) -> None:
+        """Atomic publish: assemble the sidecar in a tmp dir, then one
+        os.rename (same discipline as checkpoint writes — a SIGKILL
+        mid-write must never leave a half-valid cache)."""
+        final = self._rowcache_dir()
+        tmp_dir = tempfile.mkdtemp(
+            prefix=os.path.basename(final) + ".",
+            dir=os.path.dirname(self.path),
+        )
+        os.replace(ids_tmp, os.path.join(tmp_dir, "ids.bin"))
+        np.save(os.path.join(tmp_dir, "offsets.npy"), row_offsets)
+        np.save(os.path.join(tmp_dir, "uniq.npy"), self._unique_counts)
+        with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+            json.dump(self._fingerprint(), f)
+        try:
+            os.rename(tmp_dir, final)
+        except OSError:
+            # Lost a publish race (or target exists from a parallel
+            # process): keep whichever sidecar won.
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        self._attach_rowcache(final)
+
+    def _load_rowcache(self) -> bool:
+        d = self._rowcache_dir()
+        try:
+            with open(os.path.join(d, "meta.json")) as f:
+                meta = json.load(f)
+            if meta != self._fingerprint():
+                return False
+            self._attach_rowcache(d)
+        except (OSError, ValueError, KeyError):
+            return False
+        self._local_tokens = int(self._row_offsets[-1])
+        self._unique_counts = np.load(os.path.join(d, "uniq.npy"))
+        return True
+
+    def _attach_rowcache(self, d: str) -> None:
+        self._row_offsets = np.load(os.path.join(d, "offsets.npy"))
+        n = int(self._row_offsets[-1])
+        self._row_ids = np.memmap(
+            os.path.join(d, "ids.bin"), dtype=np.int32, mode="r",
+            shape=(n,),
         )
 
     # -- stats ----------------------------------------------------------------
@@ -132,7 +268,20 @@ class StreamingCorpus:
     # -- on-demand parsing ------------------------------------------------------
 
     def _parse(self, doc_indices: Sequence[int]) -> Corpus:
-        """Parse ONLY the requested documents (local indices)."""
+        """Materialise ONLY the requested documents (local indices):
+        token-id rows from the memmapped sidecar when one is attached
+        (bit-identical to the parser — the sidecar was written from the
+        same parse), else a streamed re-parse of just those lines."""
+        if self._row_ids is not None:
+            offs = self._row_offsets
+            docs = [
+                np.array(
+                    self._row_ids[offs[int(i)]:offs[int(i) + 1]],
+                    dtype=np.int32,
+                )
+                for i in doc_indices
+            ]
+            return Corpus(docs, self.vocab)
         from pylda_tpu.native import parse_lines
 
         lines = []

@@ -104,6 +104,10 @@ class StochasticVariationalBayes(VariationalBayes):
                 self._epochs_scan_gather,
                 static_argnames=("n", "hyper_interval"),
             )
+        self._jit_epochs_stacked = jax.jit(
+            self._epochs_scan_stacked,
+            static_argnames=("n", "hyper_interval"),
+        )
         if proc_local:
             if self._mesh is None:
                 raise ValueError(
@@ -387,29 +391,32 @@ class StochasticVariationalBayes(VariationalBayes):
         )
         return lam_final, ests, elog_sums.sum(axis=0), gammas
 
-    def _epochs_scan_gather(
-        self, state, rows_arrays, idx3, rhos2, scales2,
-        n: int, hyper_interval: int,
+    def _epochs_scan_core(
+        self, state, batch_src3, rhos2, scales2,
+        n: int, hyper_interval: int, make_batches,
     ):
-        """n FULL epochs in one dispatch (device-rows path): outer scan
-        over epochs (carrying lam/alpha/eta/key — the key chain splits
-        exactly like sequential ``learning()`` calls, so results are
-        bitwise identical), inner scan over that epoch's gathered
-        minibatches, scheduled Newton hyper updates at epoch
-        boundaries.  Per-document gammas are NOT accumulated (n·corpus
-        of them would sit in HBM for nothing) — ``.gamma`` lazily
-        recomputes at the final state."""
+        """n FULL epochs in one dispatch: outer scan over epochs
+        (carrying lam/alpha/eta/key — the key chain splits exactly like
+        sequential ``learning()`` calls, so results are bitwise
+        identical), inner scan over that epoch's minibatches, scheduled
+        Newton hyper updates at epoch boundaries.  ``batch_src3`` is a
+        pytree with leading [n, n_batches] axes; ``make_batches``
+        resolves one scanned element into minibatch layout chunks (the
+        device-rows path gathers from resident rows; the stacked path
+        passes the chunks through).  Per-document gammas are NOT
+        accumulated (n·corpus of them would sit in HBM for nothing) —
+        ``.gamma`` lazily recomputes at the final state."""
         from pylda_tpu.models.base import LDAState
 
         docs_seen = jnp.asarray(float(self._corpus.global_num_docs))
 
         def epoch_body(carry, xs):
             lam, alpha, eta, step = carry
-            idxs_e, rhos_e, scales_e, key = xs
+            src_e, rhos_e, scales_e, key = xs
 
             def batch_body(lam, bxs):
-                idxs, rho, scale, i = bxs
-                bl = self._gathered_buckets(rows_arrays, idxs, lam.dtype)
+                src, rho, scale, i = bxs
+                bl = make_batches(src, lam.dtype)
                 sub = jax.random.fold_in(key, i)
                 lam_new, est, elog_sum, _gammas = self._minibatch_step(
                     lam, alpha, eta, sub, bl, rho, scale
@@ -419,7 +426,7 @@ class StochasticVariationalBayes(VariationalBayes):
             nb = rhos_e.shape[0]
             lam, (ests, elog_sums) = jax.lax.scan(
                 batch_body, lam,
-                (idxs_e, rhos_e, scales_e, jnp.arange(nb)),
+                (src_e, rhos_e, scales_e, jnp.arange(nb)),
             )
             elog_sum = elog_sums.sum(axis=0)
             step = step + 1
@@ -452,12 +459,39 @@ class StochasticVariationalBayes(VariationalBayes):
         (lam, alpha, eta, _step), ests2 = jax.lax.scan(
             epoch_body,
             (state.lam, state.alpha, state.eta, state.step),
-            (tuple(idx3), rhos2, scales2, jnp.stack(subs)),
+            (batch_src3, rhos2, scales2, jnp.stack(subs)),
         )
         new_state = LDAState(
             lam=lam, alpha=alpha, eta=eta, step=state.step + n, key=k
         )
         return new_state, ests2
+
+    def _epochs_scan_gather(
+        self, state, rows_arrays, idx3, rhos2, scales2,
+        n: int, hyper_interval: int,
+    ):
+        """Device-rows variant: minibatches gather from resident rows."""
+        return self._epochs_scan_core(
+            state, tuple(idx3), rhos2, scales2, n, hyper_interval,
+            lambda idxs, dtype: self._gathered_buckets(
+                rows_arrays, idxs, dtype
+            ),
+        )
+
+    def _epochs_scan_stacked(
+        self, state, stacked3, rhos2, scales2,
+        n: int, hyper_interval: int,
+    ):
+        """Host-stacked variant (process-local / fixed-geometry
+        repack): minibatch chunks arrive pre-stacked with [n, n_batches]
+        leading axes (round-3 verdict item 5 — the proc-local epochs
+        were one collective dispatch EACH, leaving the known ~18%
+        fusion win and the per-epoch collective-dispatch latency on the
+        table)."""
+        return self._epochs_scan_core(
+            state, stacked3, rhos2, scales2, n, hyper_interval,
+            lambda bl, dtype: bl,
+        )
 
     # -- host-side epoch batch construction ----------------------------------------
 
@@ -799,6 +833,16 @@ class StochasticVariationalBayes(VariationalBayes):
         if n <= 0:
             return []
         if self._device_rows is None:
+            if (
+                getattr(self._corpus, "process_local", False)
+                and jax.process_count() > 1
+            ):
+                # Process-local epochs are shape-stable by construction
+                # (negotiated fixed geometry / uniform dense rows), so n
+                # epochs fuse into ONE collective dispatch — per-epoch
+                # dispatch latency and cross-host sync amortise 1/n
+                # (round-3 verdict item 5).
+                return self._learning_many_fused_stacked(n)
             return self._learning_many_prefetch(n)
         cfg = self._config
         st = self.state
@@ -845,6 +889,77 @@ class StochasticVariationalBayes(VariationalBayes):
             for row in np.asarray(ests2, dtype=np.float64)
         ]
 
+    def _learning_many_fused_stacked(self, n: int):
+        """n epochs in ONE dispatch for the host-repack process-local
+        path: construct every epoch's minibatch layouts (advancing the
+        rho schedule exactly as sequential epochs would), stack them
+        with [n, n_batches] leading axes, shard once, and run the same
+        outer-epoch scan as the device-rows path.  The key chain is
+        bitwise-equal to n ``learning()`` calls
+        (tests/test_multiprocess.py pins 2-process parity).  Falls back
+        to the per-epoch loop if any epoch's shapes diverge (cannot
+        happen under the negotiated geometry; a GeometryOverflow
+        recompile path raises loudly upstream instead)."""
+        import numpy as _np
+
+        from pylda_tpu.parallel.mesh import shard_stacked_batch
+
+        cfg = self._config
+        st = self.state
+        prepared = []
+        structs, counts = set(), set()
+        for e in range(n):
+            epoch_seed = (self._counter + e) * 100003 + cfg.seed
+            prep = self._epoch_batches(epoch_seed)
+            prepared.append(prep)
+            bl0 = prep[0]
+            structs.update(
+                str(jax.tree.structure(bl))
+                + str([jax.tree.map(jnp.shape, b) for b in bl])
+                for bl in bl0
+            )
+            counts.add(len(bl0))
+        if len(structs) > 1 or len(counts) > 1:  # shapes diverged
+            return [self.learning(_prepared=p) for p in prepared]
+        # Stack: epoch axis over (batch axis over chunk fields).
+        per_epoch_stacked = [
+            jax.tree.map(
+                lambda *xs: _np.stack([_np.asarray(x) for x in xs]),
+                *prep[0],
+            )
+            for prep in prepared
+        ]
+        stacked3 = jax.tree.map(
+            lambda *xs: _np.stack(xs), *per_epoch_stacked
+        )
+        proc_local = prepared[0][4]
+        if self._mesh is None:
+            stacked3 = [jax.device_put(b) for b in stacked3]
+        else:
+            stacked3 = [
+                shard_stacked_batch(
+                    b, self._mesh, process_local=proc_local, stack_axes=2
+                )
+                for b in stacked3
+            ]
+        rhos2 = jnp.asarray(
+            _np.asarray([p[2] for p in prepared]), self._dtype
+        )
+        scales2 = jnp.asarray(
+            _np.asarray([p[3] for p in prepared]), self._dtype
+        )
+        new_state, ests2 = self._jit_epochs_stacked(
+            st, stacked3, rhos2, scales2,
+            n=n, hyper_interval=cfg.hyper_parameter_optimize_interval,
+        )
+        self._state = new_state
+        self._step_host = self._counter + n
+        self._set_gammas(None, None)  # lazy: .gamma re-runs the E-step
+        return [
+            float(_np.mean(row))
+            for row in _np.asarray(ests2, dtype=_np.float64)
+        ]
+
     def _learning_many_prefetch(self, n: int):
         """Pipelined epochs for the HOST-repack paths (streaming and
         process-local corpora): a worker thread builds epoch e+1's
@@ -878,13 +993,30 @@ class StochasticVariationalBayes(VariationalBayes):
 
     @property
     def gamma(self):
-        if (
-            self._gamma_np is None
-            and self._gammas_dev is None
-            and self._device_rows is not None
-        ):
-            self._recompute_gammas_device()
+        if self._gamma_np is None and self._gammas_dev is None:
+            if self._device_rows is not None:
+                self._recompute_gammas_device()
+            elif getattr(self, "_corpus", None) is not None:
+                self._recompute_gammas_host()
         return VariationalBayes.gamma.fget(self)
+
+    def _recompute_gammas_host(self) -> None:
+        """Lazy gamma refresh for the host-repack paths after a fused
+        multi-epoch scan (which deliberately does not accumulate
+        per-document gammas): run ONE rho=0 epoch through the normal
+        ``learning()`` machinery — lambda is untouched at zero learning
+        rate and every document is visited exactly once — then restore
+        the state/schedule so the refresh is side-effect-free."""
+        st = self._state
+        saved_t = self._t
+        saved_step = self._step_host
+        cfg = self._config
+        prep = self._epoch_batches(self._counter * 100003 + cfg.seed)
+        prep = (prep[0], prep[1], [0.0] * len(prep[2]), prep[3], prep[4])
+        self.learning(_prepared=prep)
+        self._t = saved_t
+        self._state = st
+        self._step_host = saved_step
 
     def _recompute_gammas_device(self) -> None:
         """Refresh per-document gammas at the current state: one rho=0

@@ -362,10 +362,14 @@ def negotiate_svi_ragged_geometry(corpus, config, b_local: int):
     )
 
 
-def shard_stacked_batch(batch, mesh: Mesh, process_local: bool = False):
-    """Place a host batch whose fields carry a LEADING STACK AXIS
-    [n, rows, ...] — an epoch of same-shape minibatches stacked for a
-    fused ``lax.scan`` — with document sharding on axis 1.
+def shard_stacked_batch(
+    batch, mesh: Mesh, process_local: bool = False, stack_axes: int = 1
+):
+    """Place a host batch whose fields carry ``stack_axes`` LEADING
+    STACK AXES — [n_batches, rows, ...] for an epoch of same-shape
+    minibatches stacked for a fused ``lax.scan`` (stack_axes=1), or
+    [n_epochs, n_batches, rows, ...] for the fused multi-epoch scan
+    (stack_axes=2) — with document sharding on the rows axis.
 
     ``process_local=True``: the rows axis holds only this process's
     documents; fields are lifted to global arrays of ``rows * P`` via
@@ -378,11 +382,13 @@ def shard_stacked_batch(batch, mesh: Mesh, process_local: bool = False):
     nproc = jax.process_count()
     out = {}
     for f, spec in specs.items():
-        sspec = P(*((None,) + tuple(spec)))
+        sspec = P(*((None,) * stack_axes + tuple(spec)))
         local = np.asarray(getattr(batch, f))
         if process_local:
             gshape = (
-                (local.shape[0], local.shape[1] * nproc) + local.shape[2:]
+                local.shape[:stack_axes]
+                + (local.shape[stack_axes] * nproc,)
+                + local.shape[stack_axes + 1:]
             )
             out[f] = jax.make_array_from_process_local_data(
                 NamedSharding(mesh, sspec), local, gshape

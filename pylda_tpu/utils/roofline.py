@@ -274,6 +274,90 @@ def pass_bound_ms(engine, peaks: Optional[ChipPeaks] = None) -> float:
     return total
 
 
+def _svi_epoch_bound_ms(eng, peaks: ChipPeaks) -> float:
+    """Roofline lower bound for ONE SVI epoch: the per-sweep bound of
+    every minibatch chunk x a measured converged sweep count per
+    distinct chunk shape (one probe dispatch per shape — the fixed
+    negotiated geometry keeps that to a handful).  Deliberately a
+    LOWER bound: the natural-gradient update, sstats scatter, and
+    E[log beta] phases are omitted, so the reported utilisation is
+    conservative."""
+    import jax
+
+    from pylda_tpu.models.vb import _gamma_init
+    from pylda_tpu.ops.dirichlet import exp_dirichlet_expectation
+    from pylda_tpu.ops.estep import estep_dense, estep_ragged_gamma
+
+    cfg = eng._config
+    t_save = eng._t
+    try:
+        batch_lists = eng._epoch_batches(0)[0]
+    finally:
+        eng._t = t_save
+    st = eng.state
+    eeb = exp_dirichlet_expectation(st.lam)
+    key = jax.random.fold_in(st.key, 0x5F1)
+    sweeps_by_shape: Dict[tuple, float] = {}
+    total = 0.0
+    for bl in batch_lists:
+        for b in bl:
+            shape = b.ids.shape if hasattr(b, "ids") else b.counts.shape
+            if shape not in sweeps_by_shape:
+                g0 = _gamma_init(
+                    key, (shape[0], cfg.number_of_topics), st.lam.dtype,
+                    cfg.gamma_init,
+                )
+                if hasattr(b, "ids"):
+                    _, s = estep_ragged_gamma(
+                        b.ids, b.cnts, g0, eeb, st.alpha,
+                        inner_iterations=cfg.inner_iterations,
+                        convergence_threshold=cfg.convergence_threshold,
+                        eps=cfg.eps, compute_dtype=cfg.compute_dtype,
+                        stall_patience=cfg.estep_stall_patience,
+                    )
+                else:
+                    _, _, _, s = estep_dense(
+                        b.counts, g0, eeb, st.alpha,
+                        inner_iterations=cfg.inner_iterations,
+                        convergence_threshold=cfg.convergence_threshold,
+                        eps=cfg.eps, compute_dtype=cfg.compute_dtype,
+                        stall_patience=cfg.estep_stall_patience,
+                    )
+                sweeps_by_shape[shape] = float(s)
+            total += _batch_sweep_bound_ms(b, cfg, peaks) * sweeps_by_shape[
+                shape
+            ]
+    return total
+
+
+def suite_mfu(eng, measured_seconds: float) -> float:
+    """Roofline utilisation of one measured training unit (a full-corpus
+    pass for vb/gibbs/hybrid, one epoch for SVI) — the per-row ``mfu``
+    bench_suite.py reports for every BASELINE config (SURVEY.md
+    section 5 occupancy; round-3 verdict item 4).
+
+    Engine-specific accounting:
+      - vb / hybrid: ``pass_bound_ms`` (sweep bound x measured converged
+        counts + sstats + E[log beta]; hybrid's sequence layout runs the
+        fixed burn_in + num_samples sweeps).
+      - gibbs: ONE sweep per ``learning()`` over the sequence buckets
+        (the n_kv rebuild and bookkeeping are omitted — a LOWER bound).
+      - svi: ``_svi_epoch_bound_ms`` (sweeps-only, conservative).
+    """
+    peaks = ChipPeaks()
+    cfg = eng._config
+    mode = cfg.inference_mode
+    if mode == "svi":
+        bound = _svi_epoch_bound_ms(eng, peaks)
+    elif mode == "gibbs":
+        bound = sum(
+            _batch_sweep_bound_ms(b, cfg, peaks) for b in eng._buckets
+        )
+    else:
+        bound = pass_bound_ms(eng, peaks)
+    return round(utilisation(measured_seconds * 1e3, bound), 6)
+
+
 def roofline_report(engine, repeats: int = 3) -> dict:
     """Measured per-phase times next to their roofline bounds + a
     utilisation fraction per phase (SURVEY.md section 5 occupancy

@@ -454,8 +454,25 @@ ests = [eng.learning() for _ in range(2)]
 lam_sum = float(np.asarray(eng.state.lam, dtype=np.float64).sum())
 gamma = eng.gamma
 gsum = float(gamma.sum())
+
+# Fused multi-epoch parity (round-3 verdict item 5): learning_many(2)
+# on the process-local path = ONE collective dispatch via the stacked
+# outer-epoch scan, with the key chain split exactly like the two
+# sequential learning() calls above.
+eng2 = StochasticVariationalBayes(cfg)
+eng2.initialize(train, vocab, lam_init=lam0, mesh=make_mesh(shape=(4, 1)))
+ests_f = eng2.learning_many(2)
+lam_f = float(np.asarray(eng2.state.lam, dtype=np.float64).sum())
+gsum_f = float(eng2.gamma.sum())
+fused_lam_match = int(lam_f == lam_sum)
+fused_est_match = int(
+    all(abs(a - b) < 1e-9 * abs(a) for a, b in zip(ests, ests_f))
+)
+fused_gsum_match = int(abs(gsum_f - gsum) < 1e-6 * abs(gsum))
 print(f"RESULT rank={rank} est0={ests[0]:.4f} est1={ests[1]:.4f} "
-      f"lam={lam_sum:.4f} gsum={gsum:.4f} caps={caps}", flush=True)
+      f"lam={lam_sum:.4f} gsum={gsum:.4f} caps={caps} "
+      f"fused_lam={fused_lam_match} fused_est={fused_est_match} "
+      f"fused_gsum={fused_gsum_match}", flush=True)
 """)
 
 
@@ -603,6 +620,12 @@ def test_two_process_svi_ragged_matches_emulated_reference(tmp_path):
     assert results[0]["lam"] == results[1]["lam"], results
     assert results[0]["gsum"] == results[1]["gsum"], results
     assert results[0]["caps"] == results[1]["caps"], results
+    # Fused multi-epoch scan (one collective dispatch) == sequential
+    # learning() calls, on both hosts (round-3 verdict item 5).
+    for r in (0, 1):
+        assert results[r]["fused_lam"] == "1", results
+        assert results[r]["fused_est"] == "1", results
+        assert results[r]["fused_gsum"] == "1", results
 
     ref_ests, ref_lam, ref_gsum, ref_caps = _svi_ragged_reference(corpus_dir)
     assert results[0]["caps"] == ref_caps, (results[0]["caps"], ref_caps)

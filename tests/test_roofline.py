@@ -141,3 +141,27 @@ def test_hybrid_sequence_layout_report():
     rep = roofline_report(eng, repeats=1)
     assert "iteration" in rep
     assert 0.0 <= rep["iteration"]["utilisation"] <= 1.0
+
+
+def test_suite_mfu_all_engine_kinds():
+    """bench_suite's per-row mfu (round-3 verdict item 4): every engine
+    kind produces a finite utilisation in (0, 1] from one measured
+    duration — vb/hybrid via pass_bound_ms, gibbs via the one-sweep
+    sequence bound, svi via the epoch bound over its minibatch lists."""
+    from pylda_tpu.models import make_engine
+    from pylda_tpu.utils.roofline import suite_mfu
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=96, num_topics=6, num_types=5000, mean_doc_length=25,
+        seed=0,
+    )
+    for mode in ("vb", "svi", "gibbs", "hybrid"):
+        eng = make_engine(LDAConfig(
+            number_of_topics=6, inference_mode=mode, seed=0,
+            batch_size=32, number_of_samples=2, burn_in_sweeps=1,
+            inner_iterations=10,
+        ))
+        eng.initialize(corpus)
+        eng.learning_many(2)
+        mfu = suite_mfu(eng, measured_seconds=1e-4)
+        assert mfu is not None and 0.0 < mfu <= 1.0, (mode, mfu)
