@@ -118,12 +118,29 @@ class Corpus:
     process_local: bool = False
     global_doc_offset: int = 0
 
-    def __init__(self, docs: Sequence[np.ndarray], vocab: Vocabulary):
+    def __init__(
+        self,
+        docs: Sequence[np.ndarray],
+        vocab: Vocabulary,
+        uniques: Optional[Sequence[Tuple[np.ndarray, np.ndarray]]] = None,
+    ):
         self.docs: List[np.ndarray] = [
             np.asarray(d, dtype=np.int32) for d in docs
         ]
         self.vocab = vocab
-        # Cache per-doc unique (ids, counts).
+        # Per-doc unique (ids, counts).  ``uniques`` lets callers inject
+        # precomputed BoW rows (the StreamingCorpus sidecar stores them;
+        # the per-doc np.unique below measured as the DOMINANT host cost
+        # of streaming-SVI epoch construction — tokenisation was not).
+        if uniques is not None:
+            self._uniques = [
+                (
+                    np.asarray(i, dtype=np.int32),
+                    np.asarray(c, dtype=np.float32),
+                )
+                for i, c in uniques
+            ]
+            return
         self._uniques: List[Tuple[np.ndarray, np.ndarray]] = []
         for d in self.docs:
             if d.size:
