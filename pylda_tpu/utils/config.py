@@ -73,26 +73,29 @@ class LDAConfig:
     # jax.random.categorical per position (original formulation, kept
     # for A/B); "race" = exponential races (one [L, D, K] draw up
     # front, mul/argmax per position).  Same distribution, different
-    # random streams.  "auto" picks by K: the cdf prefix sum is a
-    # [D,K]x[K,K] matmul per position — O(K^2) — so it wins at small K
-    # and inverts at large K.  On-chip full-sweep A/B vs gumbel
-    # (scripts/sampler_ab.py, v5e, V=10k): at B=1 blocks K=100 cdf
-    # 1.20x / race 0.99x; K=300 cdf 1.13x / race 1.12x; K=512 cdf
-    # 0.99x / race 1.04x; K=1000 cdf 0.74x / race 1.08x.  Re-measured
-    # at the shipping B=8 blocks, K=1000: gumbel 25.9 ms / race 26.2 /
-    # cdf 29.0 — blocking amortises gumbel's per-position threefry
-    # draw (one [B,D,K] categorical per block), so above the crossover
-    # the exact log-domain formulation is also the fastest.
+    # random streams.  "auto" decides from the two cost models
+    # (utils/roofline.py): cdf's prefix sum is a [D,K]x[K,K] matmul per
+    # position — 2*K^2 MXU flops/slot — while gumbel draws K uniforms +
+    # logs per slot on the VPU with the per-draw fixed overhead
+    # amortised over the B positions of a block.  Equating them gives a
+    # crossover K*(B) = c1 + c2/B that is INDEPENDENT of D, L, and V
+    # (both sides scale with slot count; V enters neither inner loop).
+    # Calibrated on-chip over a (K x B x V) grid
+    # (scripts/sampler_grid.py, v5e, 22 cells, K in 384..1000, B in
+    # {1,8}, V in {10k,50k}): cdf_speedup crosses 1.0 at K ~ 850 (B=1)
+    # and K ~ 700 (B=8); the V=50k ratios match V=10k within noise,
+    # confirming V-independence.  Fit: K* = 680 + 170/B.
     topic_sampler: str = "auto"
 
     def resolved_topic_sampler(self) -> str:
         """Concrete sampler for topic_sampler="auto": inverse-CDF up to
-        the measured K=300-512 crossover, log-domain gumbel above it
-        (fastest at large K under B=8 blocks, and the exact
-        formulation)."""
+        the calibrated crossover K*(B) = 680 + 170/B (measured grid —
+        see the topic_sampler comment), log-domain gumbel above it (the
+        exact formulation, and fastest at large K)."""
         if self.topic_sampler != "auto":
             return self.topic_sampler
-        return "cdf" if self.number_of_topics <= 384 else "gumbel"
+        k_star = 680.0 + 170.0 / max(1, self.sampler_block_positions)
+        return "cdf" if self.number_of_topics <= k_star else "gumbel"
 
     # Positions sampled per within-document scan step (Gibbs/hybrid).
     # 1 = exact sequential within-doc Gibbs.  B > 1 samples B positions

@@ -114,17 +114,22 @@ def main():
     ap.add_argument("--types", type=int, default=10_000)
     ap.add_argument("--docs", type=int, default=4096)
     ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--mean_len", type=float, default=120.0)
+    ap.add_argument("--model_topics", type=int, default=0,
+                    help="planted topic count (default = --topics)")
+    ap.add_argument("--hyper_interval", type=int, default=0)
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
     corpus, _, _ = synthetic_corpus(
-        num_docs=args.docs, num_topics=args.topics, num_types=args.types,
-        mean_doc_length=120.0, seed=0,
+        num_docs=args.docs, num_topics=args.model_topics or args.topics,
+        num_types=args.types, mean_doc_length=args.mean_len, seed=0,
     )
     cfg = LDAConfig(
         number_of_topics=args.topics, inference_mode="vb",
         inner_iterations=args.inner, convergence_threshold=args.thr, seed=0,
         compute_dtype=args.compute_dtype,
+        hyper_parameter_optimize_interval=args.hyper_interval,
     )
     eng = VariationalBayes(cfg)
     eng.initialize(corpus)

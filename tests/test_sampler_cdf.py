@@ -161,17 +161,28 @@ def test_blocked_single_token_matches_exact_categorical(sampler):
     assert (np.abs(emp - p) < tol + 1e-3).all(), (emp, p)
 
 
-def test_auto_sampler_resolves_by_topic_count():
-    """topic_sampler="auto" picks cdf below the measured K~400 crossover
-    and gumbel above it (scripts/sampler_ab.py tables; at the shipping
-    B=8 blocks gumbel is fastest at large K); explicit values pass
-    through untouched."""
+def test_auto_sampler_resolves_by_cost_model():
+    """topic_sampler="auto" picks cdf below the calibrated crossover
+    K*(B) = 680 + 170/B (scripts/sampler_grid.py, 22-cell on-chip grid)
+    and gumbel above; the crossover moves with the block size through
+    the RNG-amortisation term; explicit values pass through
+    untouched."""
     from pylda_tpu.utils.config import LDAConfig
 
     assert LDAConfig(number_of_topics=100).resolved_topic_sampler() == "cdf"
-    assert LDAConfig(number_of_topics=384).resolved_topic_sampler() == "cdf"
+    # B=8 default: K* = 701
+    assert LDAConfig(number_of_topics=700).resolved_topic_sampler() == "cdf"
     assert (
-        LDAConfig(number_of_topics=385).resolved_topic_sampler() == "gumbel"
+        LDAConfig(number_of_topics=710).resolved_topic_sampler() == "gumbel"
+    )
+    # B=1: K* = 850 — a K=800 run flips sampler with the block size
+    assert (
+        LDAConfig(number_of_topics=800, sampler_block_positions=1)
+        .resolved_topic_sampler()
+        == "cdf"
+    )
+    assert (
+        LDAConfig(number_of_topics=800).resolved_topic_sampler() == "gumbel"
     )
     assert (
         LDAConfig(number_of_topics=1000).resolved_topic_sampler() == "gumbel"
