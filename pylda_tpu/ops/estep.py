@@ -124,10 +124,59 @@ def estep_dense(
     return gamma, sstats, token_score, i
 
 
+def _factor_layout(num_topics: int) -> str:
+    """Per-slot factor block layout for the ragged sweeps.
+
+    "dtk" ([D, T, K], K on the 128-lane axis) is the default: XLA
+    lowers both contractions as dots and keeps B VMEM-resident.  Below
+    K=64, XLA instead lowers the K-contraction as multiply+reduce
+    fusions AND the lane padding wastes >= 2x of every vector op — the
+    measured cliff: at K=50 the "kdt" layout ([K, D, T], T on lanes) is
+    2.0x faster at T~128 and 2.67x at T~800, while at K=64/96/100/200
+    it is 3-5x SLOWER (measured grid in BENCH_SUITE round 4).  CPU
+    keeps "dtk" (no lane tiling; preserves bitwise parity with the
+    oracle pathways)."""
+    if num_topics < 64 and jax.default_backend() != "cpu":
+        return "kdt"
+    return "dtk"
+
+
+def _gather_factor(exp_elog_beta, ids, layout: str, dtype):
+    if layout == "kdt":
+        return exp_elog_beta[:, ids].astype(dtype)  # [K, D, T]
+    return exp_elog_beta.T[ids].astype(dtype)  # [D, T, K]
+
+
+_EINSUMS = {
+    "dtk": ("dk,dtk->dt", "dt,dtk->dk"),
+    "kdt": ("dk,kdt->dt", "dt,kdt->dk"),
+}
+
+
+def _b_storage_dtype(acc_dtype, cdt):
+    """Storage dtype for the gathered per-slot factor block B.
+
+    On accelerator backends B is stored bf16 explicitly: at K >= ~100
+    XLA lowers the sweep contractions as dots and its bf16 propagation
+    already demotes B (keeping it VMEM-resident), but at small K (e.g.
+    the NIPS config's K=50) it lowers them as multiply+reduce FUSIONS,
+    which the demotion pass skips — B then sits in HBM as f32 and every
+    sweep streams it (measured 85 ms/pass vs a ~2 ms bound at
+    D=1536/T~800/K=50: the whole E-step was HBM-bound on a block that
+    fits VMEM in bf16).  The convert back to f32 fuses into the
+    contraction.  CPU keeps the nominal dtype (no bf16 units; also
+    preserves bitwise parity with the f64 oracle pathways), as does
+    every non-f32 accumulator (the x64 oracle-parity path)."""
+    if acc_dtype == jnp.float32 and jax.default_backend() != "cpu":
+        return jnp.bfloat16
+    return cdt
+
+
 def _ragged_sweep_loop(
     ids, cnts, gamma_init, exp_elog_beta, alpha,
     inner_iterations, convergence_threshold, eps, cdt, acc_dtype,
     stall_patience=0,
+    layout=None,
 ):
     """Batched gamma fixed point over one (ids, cnts) block.
 
@@ -160,7 +209,16 @@ def _ragged_sweep_loop(
     ``stall_patience=0`` disables stall detection (pure threshold/cap
     semantics — also forced when convergence_threshold == 0, which the
     pinned-sweep parity tests rely on)."""
-    B = exp_elog_beta.T[ids].astype(cdt)
+    # bf16 B storage on accelerators (see _b_storage_dtype: at small K
+    # the contraction lowers to multiply+reduce fusions that XLA's own
+    # bf16 demotion skips, leaving an HBM-streamed f32 B), and a
+    # K-dependent layout (see _factor_layout).
+    if layout is None:
+        layout = _factor_layout(gamma_init.shape[1])
+    B = _gather_factor(
+        exp_elog_beta, ids, layout, _b_storage_dtype(acc_dtype, cdt)
+    )
+    e_phinorm, e_update = _EINSUMS[layout]
     use_stall = stall_patience > 0 and convergence_threshold > 0.0
 
     def cond(carry):
@@ -174,13 +232,13 @@ def _ragged_sweep_loop(
         i, gamma, exp_etheta, best, age = carry
         phinorm = (
             jnp.einsum(
-                "dk,dtk->dt", exp_etheta.astype(cdt), B,
+                e_phinorm, exp_etheta.astype(cdt), B,
                 preferred_element_type=acc_dtype,
             )
             + eps
         )
         gamma_new = alpha[None, :] + exp_etheta * jnp.einsum(
-            "dt,dtk->dk", (cnts / phinorm).astype(cdt), B,
+            e_update, (cnts / phinorm).astype(cdt), B,
             preferred_element_type=acc_dtype,
         )
         change = jnp.abs(gamma_new - gamma).mean(axis=-1)
@@ -327,12 +385,18 @@ def estep_ragged(
     K = gamma_init.shape[-1]
     acc_dtype = jnp.promote_types(gamma_init.dtype, jnp.float32)
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else acc_dtype
-    B = exp_elog_beta.T[ids].astype(cdt)  # [D, T, K]
+    # bf16 storage on accelerators (_b_storage_dtype) + the K-gated
+    # factor layout (_factor_layout — kdt below K=64 on accelerators).
+    layout = _factor_layout(K)
+    B = _gather_factor(
+        exp_elog_beta, ids, layout, _b_storage_dtype(acc_dtype, cdt)
+    )
+    e_phinorm, e_update = _EINSUMS[layout]
 
     def phinorm_of(exp_etheta):
         return (
             jnp.einsum(
-                "dk,dtk->dt", exp_etheta.astype(cdt), B,
+                e_phinorm, exp_etheta.astype(cdt), B,
                 preferred_element_type=acc_dtype,
             )
             + eps
@@ -351,7 +415,7 @@ def estep_ragged(
         i, gamma, exp_etheta, best, age = carry
         phinorm = phinorm_of(exp_etheta)
         gamma_new = alpha[None, :] + exp_etheta * jnp.einsum(
-            "dt,dtk->dk", (cnts / phinorm).astype(cdt), B,
+            e_update, (cnts / phinorm).astype(cdt), B,
             preferred_element_type=acc_dtype,
         )
         change = jnp.abs(gamma_new - gamma).mean(axis=-1)

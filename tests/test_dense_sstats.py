@@ -148,3 +148,29 @@ def test_total_budget_gate_falls_back_to_scatter(big_vocab_corpus, lam_init):
     )
     assert eng._sstats_plan is None
     eng.learning()  # still trains
+
+
+def test_factor_layouts_agree(big_vocab_corpus, lam_init):
+    """The kdt ([K, D, T]) and dtk ([D, T, K]) factor layouts are the
+    same math — gamma fixed points must agree to f32 arithmetic noise.
+    (kdt ships below K=64 on accelerators, where XLA lowers the dtk
+    contraction as multiply+reduce fusions with >=2x lane waste —
+    measured 2-2.7x; see ops/estep._factor_layout.)"""
+    import jax.numpy as jnp
+
+    from pylda_tpu.ops.estep import _ragged_sweep_loop
+
+    c = big_vocab_corpus
+    (bucket,) = c.to_ragged_buckets(doc_pad_multiple=8, bucket_sizes=(64,))
+    eeb = exp_dirichlet_expectation(jnp.asarray(lam_init, jnp.float32))
+    alpha = jnp.full((K,), 0.2, jnp.float32)
+    g0 = jnp.ones((bucket.ids.shape[0], K), jnp.float32)
+    outs = {}
+    for layout in ("dtk", "kdt"):
+        _i, g = _ragged_sweep_loop(
+            bucket.ids, bucket.cnts, g0, eeb, alpha,
+            20, 0.0, 1e-30, jnp.float32, jnp.float32,
+            layout=layout,
+        )
+        outs[layout] = np.asarray(g)
+    np.testing.assert_allclose(outs["kdt"], outs["dtk"], rtol=2e-5)
