@@ -37,6 +37,16 @@ import jax.numpy as jnp
 # (TW_DTYPE) measured no gain (the gather is not the bound).
 CDF_PRECISION = jax.lax.Precision.HIGH
 TW_DTYPE = None  # e.g. jnp.bfloat16 halves the per-position factor gather
+# Sorted-segment n_kv rebuild: permute z by a (loop-invariant) argsort
+# of the token ids so the per-sweep [K, V] count rebuild becomes a
+# segment_sum with indices_are_sorted=True instead of a random scatter.
+# The gibbs trace showed the rebuild at ~63% of the sweep (4.4 of
+# 7.0 ms at config 3) — but MEASURED 2.7x SLOWER in-engine (24.8 vs
+# 9.1 ms/sweep, identical LL): the per-sweep z/mask permute plus the
+# sorted layout's relayouts cost more than indices_are_sorted saves on
+# this scatter (same verdict as the round-2 sorted-permutation sstats).
+# Kept as a knob for re-measurement on other toolchains; default off.
+SORTED_COUNTS = False
 
 
 @functools.partial(
@@ -241,6 +251,16 @@ def sample_doc_topics(
 
     def assignment_counts(z):
         """sstats contribution of one kept sweep: [K, V] counts."""
+        if SORTED_COUNTS:
+            flat_ids = tokens.reshape(-1)
+            perm = jnp.argsort(flat_ids)  # loop-invariant: hoisted
+            zs = z.reshape(-1)[perm]
+            ms = token_mask.reshape(-1)[perm]
+            hot = jax.nn.one_hot(zs, K, dtype=dtype) * ms[:, None]
+            return jax.ops.segment_sum(
+                hot, flat_ids[perm], num_segments=num_types,
+                indices_are_sorted=True,
+            ).T
         hot = jax.nn.one_hot(z, K, dtype=dtype) * token_mask[:, :, None]
         flat = hot.reshape(D * L, K)
         return jax.ops.segment_sum(
