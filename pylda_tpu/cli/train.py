@@ -77,7 +77,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(e.g. 64,128,256,2048); implies a fixed "
                         "geometry")
     p.add_argument("--sstats_mode", default="auto",
-                   choices=["auto", "scatter"],
+                   choices=["auto", "scatter", "dense"],
                    help="ragged-layout sufficient statistics: 'auto' uses "
                         "the scatter-free dense-matmul form when the "
                         "corpus-static dense counts fit the HBM budget "

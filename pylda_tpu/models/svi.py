@@ -67,10 +67,11 @@ class StochasticVariationalBayes(VariationalBayes):
         self._gamma_np = None
         self._gammas_dev = None
         self._gamma_doc_ids = None
-        # Minibatch E-steps keep the in-bucket scatter sstats: their
-        # dense chunks would have to be stacked per-epoch for the fused
-        # scan, multiplying the dense memory by the minibatch count.
+        # VB's corpus-pass plan stays off (the full-corpus chunks are
+        # the wrong unit for minibatches); ragged minibatches get their
+        # own scatter-free sufficient statistics via _plan_mb_dense_sstats.
         self._sstats_plan = None
+        self._mb_sstats = self._plan_mb_dense_sstats(corpus)
         # Fixed bucket geometry for ragged minibatches: random subsets
         # natively produce different bucket shape sets, and every new
         # shape set recompiles (~40 s/shape at K=1000, V=100k through
@@ -91,6 +92,7 @@ class StochasticVariationalBayes(VariationalBayes):
                 )
         self._t = getattr(self, "_t", 0)  # global minibatch counter
         self._jit_minibatch = jax.jit(self._minibatch_step)
+        self._jit_beta = jax.jit(beta_elbo)
         self._jit_epoch_scan = jax.jit(self._epoch_scan)
         self._device_rows = None
         if not proc_local:
@@ -137,35 +139,206 @@ class StochasticVariationalBayes(VariationalBayes):
                         "geometry across hosts"
                     )
 
+    # -- per-minibatch scatter-free sufficient statistics ---------------------------
+
+    def _plan_mb_dense_sstats(self, corpus: Corpus):
+        """Scatter-free sufficient statistics for RAGGED minibatches.
+
+        Round-4 profiling (scripts/profile_svi.py — per-op device trace
+        at the config-5 shape, K=1000 V=100k batch 2048): ~40% of the
+        fused epoch went to per-chunk segment-sum scatters, each
+        materialising a [V, K] partial (~33 ms + partial-sum adds +
+        zero-broadcasts per minibatch), while the gamma sweeps were
+        ~5%.  This plan replaces the scatter with the same matmul form
+        batch VB ships (``ops/estep.estep_dense_sstats``): the corpus's
+        dense counts live on device ONCE as a [D+1, V_pad] array
+        (sentinel zero row at D; bf16 when exact), each minibatch
+        gathers its documents' rows by index and contracts them against
+        the minibatch's per-document expEtheta — two MXU matmuls whose
+        FLOPs scale with |B|·V·K, not with scatter row count.
+
+        Gates mirror ``VariationalBayes._plan_dense_sstats``: ragged
+        layout only (dense layouts are already matmul-form),
+        ``sstats_mode="auto"``, single-process (each host would need the
+        global matrix), docs in RAM, total dense bytes within
+        ``sstats_dense_total_budget_mb``.  Returns None (keep the
+        in-bucket scatter) or a dict with ``rows`` ([D+1, V_pad] device
+        array), ``nonempty`` ([D+1] f32), ``num_docs``, ``b_cap`` (the
+        static per-minibatch doc-index length) and ``chunk_sizes``
+        (b_cap split so each [chunk, V_pad] phinorm fits
+        ``sstats_dense_budget_mb``)."""
+        cfg = self._config
+        if cfg.sstats_mode == "scatter":
+            return None
+        if corpus.num_types <= cfg.dense_vocab_threshold:
+            return None
+        if (
+            getattr(corpus, "process_local", False)
+            and jax.process_count() > 1
+        ):
+            return None
+        if getattr(corpus, "docs", None) is None:
+            return None  # disk-backed streaming: rows are not in RAM
+        D, V = corpus.num_docs, corpus.num_types
+        if D == 0 or cfg.batch_size <= 0:
+            return None
+        v_pad = round_up(V, 1024)
+        budget = cfg.sstats_dense_total_budget_mb * 1e6
+        if (D + 1) * v_pad * 2 > budget:  # even bf16 storage exceeds it
+            return None
+        rows = np.zeros((D + 1, v_pad), np.float32)
+        step = max(1, int(64e6 // max(1, 4 * V)))
+        maxc = 0.0
+        for start in range(0, D, step):
+            stop = min(D, start + step)
+            c = np.asarray(
+                corpus.to_dense(doc_indices=range(start, stop)).counts
+            )
+            rows[start:stop, :V] = c
+            maxc = max(maxc, float(c.max(initial=0.0)))
+        # bfloat16 is exact for integer counts <= 256 (same argument and
+        # gate as the batch-VB chunks); larger counts keep float32.
+        dtype = jnp.bfloat16 if maxc <= 256.0 else jnp.float32
+        if (D + 1) * v_pad * np.dtype(dtype).itemsize > budget:
+            return None
+        arr = jnp.asarray(rows, dtype=dtype)
+        nonempty = jnp.asarray(
+            [d.size > 0 for d in corpus.docs] + [False], jnp.float32
+        )
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self._mesh, P())
+            arr = jax.device_put(arr, rep)
+            nonempty = jax.device_put(nonempty, rep)
+        b_cap = round_up(cfg.batch_size, cfg.doc_pad_multiple)
+        rows_budget = max(
+            cfg.doc_pad_multiple,
+            int(cfg.sstats_dense_budget_mb * 1e6 // (4 * v_pad)),
+        )
+        chunk_sizes = layouts._split_rows(
+            b_cap, rows_budget, cfg.doc_pad_multiple
+        )
+        return {
+            "rows": arr,
+            "nonempty": nonempty,
+            "num_docs": D,
+            "b_cap": b_cap,
+            "chunk_sizes": chunk_sizes,
+        }
+
+    def _doc_sel_arrays(self, index_lists):
+        """[B_cap] global doc-index array per minibatch (-1 pads), the
+        scan-shippable handle the dense-sstats gather keys on; None when
+        the plan is off."""
+        if self._mb_sstats is None:
+            return None
+        bc = self._mb_sstats["b_cap"]
+        out = []
+        for sel in index_lists:
+            ds = np.full((bc,), -1, np.int32)
+            ds[: len(sel)] = np.asarray(sel, np.int32)
+            out.append(ds)
+        return out
+
+    def _mb_rows_args(self, docsels):
+        """The plan's device arrays, shipped as JIT ARGUMENTS next to a
+        non-None docsels.  Closing over them instead bakes the [D+1,
+        V_pad] matrix into the HLO as a literal constant — measured
+        fatal on the tunneled backend (remote compile HTTP 413: the
+        config-4 request body carries the 1.6 GB constant); argument
+        buffers are passed by device handle at run time."""
+        if docsels is None or self._mb_sstats is None:
+            return None
+        return (self._mb_sstats["rows"], self._mb_sstats["nonempty"])
+
     # -- one minibatch update (traced) ---------------------------------------------
 
-    def _minibatch_step(self, lam, alpha, eta, key, batches, rho, scale):
-        """Local E-step + natural-gradient lambda step + corpus-scaled
-        stochastic bound estimate (Hoffman's estimator: the per-batch doc
-        terms scaled by D/|B| plus the topic-side terms)."""
-        gammas, sstats, token_score, theta_score, elog_sum = self._run_estep(
-            batches, lam, alpha, key
-        )
+    def _minibatch_step(
+        self, lam, alpha, eta, key, batches, rho, scale, doc_sel=None,
+        mb_rows=None,
+    ):
+        """Local E-step + natural-gradient lambda step + the doc-side
+        bound terms of Hoffman's estimator (scaled by D/|B|).  The
+        topic-side term (``beta_elbo``) is added ONCE per epoch at the
+        epoch's final lambda by the callers — at K=1000, V=100k it is a
+        ~8 ms [K,V] lgamma reduction, and paying it per minibatch bought
+        nothing (the estimate is stochastic either way).
+
+        ``doc_sel`` ([b_cap] global doc indices, -1 pads) activates the
+        scatter-free sufficient statistics (``_plan_mb_dense_sstats``):
+        the converged per-row gammas assemble into per-DOCUMENT gammas,
+        and sstats/token score come from gathered dense count rows via
+        ``estep_dense_sstats`` — numerically the same reduction as the
+        row scatter up to float summation order.  ``mb_rows`` is the
+        plan's (rows, nonempty) pair, shipped as jit arguments — see
+        ``_mb_rows_args`` for why they must not be closed over."""
+        plan = self._mb_sstats
+        if plan is not None and doc_sel is not None and mb_rows is not None:
+            rows, nonempty = mb_rows
+            D = plan["num_docs"]
+            safe = jnp.where(doc_sel >= 0, doc_sel, D)
+            chunks = []
+            s0 = 0
+            for c in plan["chunk_sizes"]:
+                ds = doc_sel[s0 : s0 + c]
+                gidx = jnp.where(ds >= 0, ds, D)  # sentinel zero row
+                chunks.append(
+                    DenseBatch(
+                        counts=rows[gidx],
+                        mask=(ds >= 0).astype(lam.dtype),
+                        doc_ids=ds,
+                    )
+                )
+                s0 += c
+            # Selected docs only — and, like the batch-VB plan, empty
+            # documents stay outside the theta/elog sums (the row paths
+            # never emit rows for them).
+            docs_mask = (
+                jnp.zeros((D + 1,), lam.dtype)
+                .at[safe]
+                .set(nonempty[safe])[:D]
+            )
+            gammas, sstats, token_score, theta_score, elog_sum = (
+                self._run_estep(
+                    batches, lam, alpha, key,
+                    dense_chunks=chunks, docs_mask=docs_mask, num_docs=D,
+                )
+            )
+            # Ship the minibatch's doc gammas (small), not the [D, K]
+            # scratch array; padding rows carry doc id -1 downstream.
+            gammas = [gammas[0][jnp.where(doc_sel >= 0, doc_sel, 0)]]
+        else:
+            gammas, sstats, token_score, theta_score, elog_sum = (
+                self._run_estep(batches, lam, alpha, key)
+            )
         lam_new = (1.0 - rho) * lam + rho * (eta[None, :] + scale * sstats)
-        est = scale * (token_score + theta_score) + beta_elbo(lam_new, eta)
+        est = scale * (token_score + theta_score)
         return lam_new, est, elog_sum, gammas
 
-    def _epoch_scan(self, lam, alpha, eta, key, stacked, rhos, scales):
-        """Whole epoch in one lax.scan over stacked same-shape minibatches."""
+    def _epoch_scan(
+        self, lam, alpha, eta, key, stacked, docsels, rhos, scales,
+        mb_rows=None,
+    ):
+        """Whole epoch in one lax.scan over stacked same-shape minibatches.
+        The epoch's bound estimates get the topic-side ``beta_elbo`` term
+        once, at the final lambda (see ``_minibatch_step``)."""
 
         def body(carry, xs):
             lam = carry
-            batches, rho, scale, i = xs
+            batches, ds, rho, scale, i = xs
             sub = jax.random.fold_in(key, i)
             lam_new, est, elog_sum, gammas = self._minibatch_step(
-                lam, alpha, eta, sub, batches, rho, scale
+                lam, alpha, eta, sub, batches, rho, scale, doc_sel=ds,
+                mb_rows=mb_rows,
             )
             return lam_new, (est, elog_sum, gammas)
 
         n = rhos.shape[0]
         lam_final, (ests, elog_sums, gammas) = jax.lax.scan(
-            body, lam, (stacked, rhos, scales, jnp.arange(n))
+            body, lam, (stacked, docsels, rhos, scales, jnp.arange(n))
         )
+        ests = ests + beta_elbo(lam_final, eta)
         return lam_final, ests, elog_sums.sum(axis=0), gammas
 
     # -- device-resident minibatching (single-process ragged layout) ---------------
@@ -297,9 +470,10 @@ class StochasticVariationalBayes(VariationalBayes):
 
     def _epoch_index_stacks(self, epoch_seed: int):
         """Host-side index assembly for one device-gathered epoch:
-        (idx_stacks [n, cap_j] per width, doc_ids_lists, rhos, scales),
-        or None when a minibatch overflows a capacity (fall back to the
-        host repack path, which promotes rows upward)."""
+        (idx_stacks [n, cap_j] per width, docsels [n, b_cap] or None,
+        doc_ids_lists, rhos, scales), or None when a minibatch overflows
+        a capacity (fall back to the host repack path, which promotes
+        rows upward)."""
         cfg = self._config
         corpus = self._corpus
         D = corpus.num_docs
@@ -311,6 +485,8 @@ class StochasticVariationalBayes(VariationalBayes):
             for m in meta
             for c in m["chunk_sizes"]
         ]
+        docsel_list = self._doc_sel_arrays(index_lists)
+        docsels = None if docsel_list is None else np.stack(docsel_list)
         doc_ids_lists = []
         rhos, scales = [], []
         for i, sel in enumerate(index_lists):
@@ -340,10 +516,14 @@ class StochasticVariationalBayes(VariationalBayes):
                     per_batch.append(gids[s0 : s0 + c])
                     s0 += c
                     stack_j += 1
-            doc_ids_lists.append(per_batch)
+            # On the dense-sstats path the step returns one gamma block
+            # per minibatch, keyed by the doc-selection array.
+            doc_ids_lists.append(
+                per_batch if docsels is None else [docsels[i]]
+            )
             scales.append(D / max(1, len(sel)))
             rhos.append((cfg.tau0 + self._t + i) ** (-cfg.kappa))
-        return idx_stacks, doc_ids_lists, rhos, scales
+        return idx_stacks, docsels, doc_ids_lists, rhos, scales
 
     def _gathered_buckets(self, rows_arrays, idxs, dtype):
         """Minibatch buckets gathered from the device-resident corpus
@@ -371,29 +551,33 @@ class StochasticVariationalBayes(VariationalBayes):
         return bl
 
     def _epoch_scan_gather(
-        self, lam, alpha, eta, key, rows_arrays, idx_stacks, rhos, scales
+        self, lam, alpha, eta, key, rows_arrays, idx_stacks, docsels,
+        rhos, scales, mb_rows=None,
     ):
         """Whole epoch in one lax.scan over gathered minibatches."""
 
         def body(carry, xs):
             lam = carry
-            idxs, rho, scale, i = xs
+            idxs, ds, rho, scale, i = xs
             bl = self._gathered_buckets(rows_arrays, idxs, lam.dtype)
             sub = jax.random.fold_in(key, i)
             lam_new, est, elog_sum, gammas = self._minibatch_step(
-                lam, alpha, eta, sub, bl, rho, scale
+                lam, alpha, eta, sub, bl, rho, scale, doc_sel=ds,
+                mb_rows=mb_rows,
             )
             return lam_new, (est, elog_sum, gammas)
 
         n = rhos.shape[0]
         lam_final, (ests, elog_sums, gammas) = jax.lax.scan(
-            body, lam, (tuple(idx_stacks), rhos, scales, jnp.arange(n))
+            body, lam,
+            (tuple(idx_stacks), docsels, rhos, scales, jnp.arange(n)),
         )
+        ests = ests + beta_elbo(lam_final, eta)
         return lam_final, ests, elog_sums.sum(axis=0), gammas
 
     def _epochs_scan_core(
-        self, state, batch_src3, rhos2, scales2,
-        n: int, hyper_interval: int, make_batches,
+        self, state, batch_src3, docsels3, rhos2, scales2,
+        n: int, hyper_interval: int, make_batches, mb_rows=None,
     ):
         """n FULL epochs in one dispatch: outer scan over epochs
         (carrying lam/alpha/eta/key — the key chain splits exactly like
@@ -412,22 +596,26 @@ class StochasticVariationalBayes(VariationalBayes):
 
         def epoch_body(carry, xs):
             lam, alpha, eta, step = carry
-            src_e, rhos_e, scales_e, key = xs
+            src_e, ds_e, rhos_e, scales_e, key = xs
 
             def batch_body(lam, bxs):
-                src, rho, scale, i = bxs
+                src, ds, rho, scale, i = bxs
                 bl = make_batches(src, lam.dtype)
                 sub = jax.random.fold_in(key, i)
                 lam_new, est, elog_sum, _gammas = self._minibatch_step(
-                    lam, alpha, eta, sub, bl, rho, scale
+                    lam, alpha, eta, sub, bl, rho, scale, doc_sel=ds,
+                    mb_rows=mb_rows,
                 )
                 return lam_new, (est, elog_sum)
 
             nb = rhos_e.shape[0]
             lam, (ests, elog_sums) = jax.lax.scan(
                 batch_body, lam,
-                (src_e, rhos_e, scales_e, jnp.arange(nb)),
+                (src_e, ds_e, rhos_e, scales_e, jnp.arange(nb)),
             )
+            # Topic-side bound term once per epoch, BEFORE the hyper
+            # update (the same order sequential learning() uses).
+            ests = ests + beta_elbo(lam, eta)
             elog_sum = elog_sums.sum(axis=0)
             step = step + 1
             if hyper_interval > 0:
@@ -459,7 +647,7 @@ class StochasticVariationalBayes(VariationalBayes):
         (lam, alpha, eta, _step), ests2 = jax.lax.scan(
             epoch_body,
             (state.lam, state.alpha, state.eta, state.step),
-            (batch_src3, rhos2, scales2, jnp.stack(subs)),
+            (batch_src3, docsels3, rhos2, scales2, jnp.stack(subs)),
         )
         new_state = LDAState(
             lam=lam, alpha=alpha, eta=eta, step=state.step + n, key=k
@@ -467,19 +655,21 @@ class StochasticVariationalBayes(VariationalBayes):
         return new_state, ests2
 
     def _epochs_scan_gather(
-        self, state, rows_arrays, idx3, rhos2, scales2,
-        n: int, hyper_interval: int,
+        self, state, rows_arrays, idx3, docsels3, rhos2, scales2,
+        n: int, hyper_interval: int, mb_rows=None,
     ):
         """Device-rows variant: minibatches gather from resident rows."""
         return self._epochs_scan_core(
-            state, tuple(idx3), rhos2, scales2, n, hyper_interval,
+            state, tuple(idx3), docsels3, rhos2, scales2, n,
+            hyper_interval,
             lambda idxs, dtype: self._gathered_buckets(
                 rows_arrays, idxs, dtype
             ),
+            mb_rows=mb_rows,
         )
 
     def _epochs_scan_stacked(
-        self, state, stacked3, rhos2, scales2,
+        self, state, stacked3, docsels3, rhos2, scales2,
         n: int, hyper_interval: int,
     ):
         """Host-stacked variant (process-local / fixed-geometry
@@ -489,7 +679,7 @@ class StochasticVariationalBayes(VariationalBayes):
         fusion win and the per-epoch collective-dispatch latency on the
         table)."""
         return self._epochs_scan_core(
-            state, stacked3, rhos2, scales2, n, hyper_interval,
+            state, stacked3, docsels3, rhos2, scales2, n, hyper_interval,
             lambda bl, dtype: bl,
         )
 
@@ -499,11 +689,12 @@ class StochasticVariationalBayes(VariationalBayes):
         """One epoch of HOST-side minibatch layouts.
 
         Returns (batch_lists, doc_ids_lists, rhos, scales,
-        process_local) where ``batch_lists[i]`` is the i-th minibatch as
-        a list of layout chunks (this process's rows only when
-        process_local) and ``doc_ids_lists[i]`` maps the i-th
+        process_local, docsels) where ``batch_lists[i]`` is the i-th
+        minibatch as a list of layout chunks (this process's rows only
+        when process_local), ``doc_ids_lists[i]`` maps the i-th
         minibatch's GLOBAL rows to global document indices (for gamma
-        assembly)."""
+        assembly), and ``docsels`` is the per-minibatch doc-selection
+        list for the dense-sstats path (None when that plan is off)."""
         cfg = self._config
         corpus = self._corpus
         if (
@@ -533,8 +724,13 @@ class StochasticVariationalBayes(VariationalBayes):
             scales.append(D / max(1, len(idx)))
             rhos.append((cfg.tau0 + self._t) ** (-cfg.kappa))
             self._t += 1
-        doc_ids_lists = [[b.doc_ids for b in bl] for bl in batch_lists]
-        return batch_lists, doc_ids_lists, rhos, scales, False
+        docsels = self._doc_sel_arrays(index_lists)
+        doc_ids_lists = (
+            [[ds] for ds in docsels]
+            if docsels is not None
+            else [[b.doc_ids for b in bl] for bl in batch_lists]
+        )
+        return batch_lists, doc_ids_lists, rhos, scales, False, docsels
 
     def _ragged_minibatch(self, corpus, cfg, idx):
         """Ragged minibatch layout: the fixed capacity geometry when one
@@ -634,7 +830,8 @@ class StochasticVariationalBayes(VariationalBayes):
             scales.append(total / max(1, docs_in))
             rhos.append((cfg.tau0 + self._t) ** (-cfg.kappa))
             self._t += 1
-        return batch_lists, doc_ids_lists, rhos, scales, True
+        # Dense-sstats plan is gated off for process-local corpora.
+        return batch_lists, doc_ids_lists, rhos, scales, True, None
 
     def _ragged_process_minibatch(self, sel) -> List[layouts.VBBatch]:
         """This host's slice of one global ragged minibatch, packed into
@@ -694,23 +891,24 @@ class StochasticVariationalBayes(VariationalBayes):
         if stacks is not None:
             # Device-resident minibatching: ship row indices only; the
             # fused scan gathers each minibatch's buckets on device.
-            idx_stacks, doc_ids_lists, rhos, scales = stacks
+            idx_stacks, docsels, doc_ids_lists, rhos, scales = stacks
             rows_arrays, _meta = self._device_rows
             idx_dev = [jnp.asarray(x) for x in idx_stacks]
+            ds_dev = None if docsels is None else jnp.asarray(docsels)
             if self._mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                idx_dev = [
-                    jax.device_put(
-                        x, NamedSharding(self._mesh, P(None, "data"))
-                    )
-                    for x in idx_dev
-                ]
+                sh = NamedSharding(self._mesh, P(None, "data"))
+                idx_dev = [jax.device_put(x, sh) for x in idx_dev]
+                if ds_dev is not None:
+                    ds_dev = jax.device_put(ds_dev, sh)
             lam, ests, elog_sum_epoch, gammas_stacked = (
                 self._jit_epoch_gather(
                     st.lam, st.alpha, st.eta, sub, rows_arrays, idx_dev,
+                    ds_dev,
                     jnp.asarray(rhos, self._dtype),
                     jnp.asarray(scales, self._dtype),
+                    mb_rows=self._mb_rows_args(ds_dev),
                 )
             )
             n = len(rhos)
@@ -725,7 +923,7 @@ class StochasticVariationalBayes(VariationalBayes):
                 st, key, lam, ests, elog_sum_epoch, gammas, doc_ids_lists
             )
 
-        batch_lists, doc_ids_lists, rhos, scales, proc_local = (
+        batch_lists, doc_ids_lists, rhos, scales, proc_local, docsels = (
             _prepared
             if _prepared is not None
             else self._epoch_batches(epoch_seed)
@@ -766,10 +964,20 @@ class StochasticVariationalBayes(VariationalBayes):
                     [b.doc_ids[i] for b in stacked]
                     for i in range(len(batch_lists))
                 ]
+            ds_stacked = (
+                None if docsels is None else jnp.asarray(np.stack(docsels))
+            )
+            if ds_stacked is not None and self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                ds_stacked = jax.device_put(
+                    ds_stacked, NamedSharding(self._mesh, P(None, "data"))
+                )
             lam, ests, elog_sum_epoch, gammas_stacked = self._jit_epoch_scan(
-                lam, alpha, st.eta, sub, stacked,
+                lam, alpha, st.eta, sub, stacked, ds_stacked,
                 jnp.asarray(rhos, self._dtype),
                 jnp.asarray(scales, self._dtype),
+                mb_rows=self._mb_rows_args(ds_stacked),
             )
             ests = list(np.asarray(ests, dtype=np.float64))
             gammas = [
@@ -783,15 +991,21 @@ class StochasticVariationalBayes(VariationalBayes):
             elog_sum_epoch = jnp.zeros_like(alpha)
             gammas = []
             for bi, bl in enumerate(batch_lists):
+                ds_i = None if docsels is None else jnp.asarray(docsels[bi])
                 lam, est, elog_sum, gs = self._jit_minibatch(
                     lam, alpha, st.eta, jax.random.fold_in(sub, bi), bl,
                     jnp.asarray(rhos[bi], self._dtype),
                     jnp.asarray(scales[bi], self._dtype),
+                    ds_i,
+                    mb_rows=self._mb_rows_args(ds_i),
                 )
                 ests_dev.append(est)
                 elog_sum_epoch = elog_sum_epoch + elog_sum
                 gammas.extend(gs)
-            ests = list(np.asarray(jnp.stack(ests_dev), dtype=np.float64))
+            # Topic-side bound term once, at the epoch's final lambda —
+            # identical float ops to the fused scans' epilogue.
+            ests_dev = jnp.stack(ests_dev) + self._jit_beta(lam, st.eta)
+            ests = list(np.asarray(ests_dev, dtype=np.float64))
 
         return self._finish_epoch(
             st, key, lam, ests, elog_sum_epoch, gammas, doc_ids_lists
@@ -847,15 +1061,16 @@ class StochasticVariationalBayes(VariationalBayes):
         cfg = self._config
         st = self.state
         saved_t = self._t
-        idx_eps, rhos_eps, scales_eps = [], [], []
+        idx_eps, ds_eps, rhos_eps, scales_eps = [], [], [], []
         for e in range(n):
             epoch_seed = (self._counter + e) * 100003 + cfg.seed
             stacks = self._epoch_index_stacks(epoch_seed)
             if stacks is None:  # rare capacity overflow: host fallback
                 self._t = saved_t
                 return [self.learning() for _ in range(n)]
-            idx, _dids, rhos, scales = stacks
+            idx, docsels, _dids, rhos, scales = stacks
             idx_eps.append(idx)
+            ds_eps.append(docsels)
             rhos_eps.append(rhos)
             scales_eps.append(scales)
             self._t += len(rhos)
@@ -864,22 +1079,24 @@ class StochasticVariationalBayes(VariationalBayes):
             for j in range(len(idx_eps[0]))
         ]
         idx_dev = [jnp.asarray(x) for x in idx3]
+        ds_dev = (
+            None if ds_eps[0] is None else jnp.asarray(np.stack(ds_eps))
+        )
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            idx_dev = [
-                jax.device_put(
-                    x, NamedSharding(self._mesh, P(None, None, "data"))
-                )
-                for x in idx_dev
-            ]
+            sh = NamedSharding(self._mesh, P(None, None, "data"))
+            idx_dev = [jax.device_put(x, sh) for x in idx_dev]
+            if ds_dev is not None:
+                ds_dev = jax.device_put(ds_dev, sh)
         rows_arrays, _meta = self._device_rows
         new_state, ests2 = self._jit_epochs_gather(
-            st, rows_arrays, idx_dev,
+            st, rows_arrays, idx_dev, ds_dev,
             jnp.asarray(np.asarray(rhos_eps), self._dtype),
             jnp.asarray(np.asarray(scales_eps), self._dtype),
             n=n,
             hyper_interval=cfg.hyper_parameter_optimize_interval,
+            mb_rows=self._mb_rows_args(ds_dev),
         )
         self._state = new_state
         self._step_host = self._counter + n
@@ -949,7 +1166,7 @@ class StochasticVariationalBayes(VariationalBayes):
             _np.asarray([p[3] for p in prepared]), self._dtype
         )
         new_state, ests2 = self._jit_epochs_stacked(
-            st, stacked3, rhos2, scales2,
+            st, stacked3, None, rhos2, scales2,
             n=n, hyper_interval=cfg.hyper_parameter_optimize_interval,
         )
         self._state = new_state
@@ -1012,7 +1229,10 @@ class StochasticVariationalBayes(VariationalBayes):
         saved_step = self._step_host
         cfg = self._config
         prep = self._epoch_batches(self._counter * 100003 + cfg.seed)
-        prep = (prep[0], prep[1], [0.0] * len(prep[2]), prep[3], prep[4])
+        prep = (
+            prep[0], prep[1], [0.0] * len(prep[2]), prep[3], prep[4],
+            prep[5],
+        )
         self.learning(_prepared=prep)
         self._t = saved_t
         self._state = st
@@ -1036,24 +1256,24 @@ class StochasticVariationalBayes(VariationalBayes):
                 "could not draw an epoch partition fitting the fixed "
                 "bucket geometry for the gamma refresh"
             )
-        idx_stacks, doc_ids_lists, rhos, scales = stacks
+        idx_stacks, docsels, doc_ids_lists, rhos, scales = stacks
         rows_arrays, _meta = self._device_rows
         idx_dev = [jnp.asarray(x) for x in idx_stacks]
+        ds_dev = None if docsels is None else jnp.asarray(docsels)
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            idx_dev = [
-                jax.device_put(
-                    x, NamedSharding(self._mesh, P(None, "data"))
-                )
-                for x in idx_dev
-            ]
+            sh = NamedSharding(self._mesh, P(None, "data"))
+            idx_dev = [jax.device_put(x, sh) for x in idx_dev]
+            if ds_dev is not None:
+                ds_dev = jax.device_put(ds_dev, sh)
         n = len(rhos)
         key = jax.random.fold_in(st.key, 0x6A33A)
         _lam, _ests, _elog, gammas_stacked = self._jit_epoch_gather(
-            st.lam, st.alpha, st.eta, key, rows_arrays, idx_dev,
+            st.lam, st.alpha, st.eta, key, rows_arrays, idx_dev, ds_dev,
             jnp.zeros((n,), self._dtype),  # rho=0: lambda untouched
             jnp.ones((n,), self._dtype),
+            mb_rows=self._mb_rows_args(ds_dev),
         )
         self._gammas_dev = [
             g
@@ -1073,8 +1293,8 @@ class StochasticVariationalBayes(VariationalBayes):
         cfg = self._config
         t_saved = self._t
         try:
-            batch_lists, _ids, rhos, scales, _pl = self._epoch_batches(
-                cfg.seed
+            batch_lists, _ids, rhos, scales, _pl, docsels = (
+                self._epoch_batches(cfg.seed)
             )
         finally:
             self._t = t_saved  # timing must not advance the rho schedule
@@ -1088,10 +1308,13 @@ class StochasticVariationalBayes(VariationalBayes):
         else:
             bl = self._maybe_shard(batch_lists[0])
         key = jax.random.fold_in(st.key, 0x7131)
+        ds0 = None if docsels is None else jnp.asarray(docsels[0])
         args = (
             st.lam, st.alpha, st.eta, key, bl,
             jnp.asarray(rhos[0], self._dtype),
             jnp.asarray(scales[0], self._dtype),
+            ds0,
+            self._mb_rows_args(ds0),
         )
         r = self._jit_minibatch(*args)
         jax.block_until_ready(r)

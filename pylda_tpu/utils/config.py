@@ -154,7 +154,10 @@ class LDAConfig:
     # counts matrix (two MXU matmuls; ~4x faster than any TPU scatter
     # variant — ops/estep.estep_dense_sstats) whenever the corpus is not
     # process-sharded; "scatter" keeps the row segment-sum inside each
-    # bucket (the only option for multi-host process-local input).
+    # bucket (the only option for multi-host process-local input);
+    # "dense" forces the matmul form wherever the feasibility gates
+    # (budget / in-RAM / single-process) allow, skipping "auto"'s
+    # measured-crossover cost gate on the SVI minibatch path.
     sstats_mode: str = "auto"
     # Per-chunk budget for the dense sstats counts matrix; docs are
     # chunked so each [rows, V] f32 chunk stays under this (bounds the
@@ -283,7 +286,7 @@ class LDAConfig:
             )
         if self.use_pallas not in ("never", "always"):
             raise ValueError(f"unknown use_pallas: {self.use_pallas}")
-        if self.sstats_mode not in ("auto", "scatter"):
+        if self.sstats_mode not in ("auto", "scatter", "dense"):
             raise ValueError(f"unknown sstats_mode: {self.sstats_mode}")
         if self.sstats_kernel not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown sstats_kernel: {self.sstats_kernel}")

@@ -405,6 +405,7 @@ def test_two_process_svi_matches_emulated_reference(tmp_path):
         )
         lam_new, ests, _elog, _g = eng._jit_epoch_scan(
             st.lam, st.alpha, st.eta, sub, [jax.device_put(stacked)],
+            None,  # docsels: dense-sstats plan is off process-local
             np.asarray(rhos, np.float32), np.asarray(scales, np.float32),
         )
         ref_ests.extend(float(x) for x in np.asarray(ests))
@@ -582,6 +583,7 @@ def _svi_ragged_reference(corpus_dir, n_epochs=2):
         stacked = [jax.device_put(b) for b in stacked]
         lam_new, ests, _elog, gammas = eng._jit_epoch_scan(
             st.lam, st.alpha, st.eta, sub_key, stacked,
+            None,  # docsels: dense-sstats plan is off process-local
             np.asarray(rhos, np.float32), np.asarray(scales, np.float32),
         )
         ests_all.append(float(np.mean(np.asarray(ests, dtype=np.float64))))

@@ -171,15 +171,52 @@ def test_streaming_svi_ragged_layout(corpus, tmp_path):
 
     runs = {}
     for name, c in (("mem", corpus), ("stream", stream)):
+        # sstats_mode="scatter" on BOTH sides: the disk-backed stream
+        # cannot take the minibatch dense-sstats plan (rows not in RAM),
+        # so bit-identity — this test's whole contract — is only defined
+        # on the shared scatter path.  Dense-vs-scatter numerical parity
+        # is pinned separately (test_svi_minibatch_dense_sstats_parity).
         eng = StochasticVariationalBayes(
             _cfg("svi", gamma_init="ones", dense_vocab_threshold=0,
-                 bucket_sizes=(32, 64, 128))
+                 bucket_sizes=(32, 64, 128), sstats_mode="scatter")
         )
         eng.initialize(c, vocab)
         ests = [eng.learning() for _ in range(2)]
         runs[name] = (np.asarray(eng.state.lam), ests)
     np.testing.assert_array_equal(runs["mem"][0], runs["stream"][0])
     assert runs["mem"][1] == runs["stream"][1]
+
+
+def test_svi_minibatch_dense_sstats_parity(corpus):
+    """The scatter-free minibatch sufficient statistics
+    (``_plan_mb_dense_sstats``: gathered dense count rows x two MXU
+    matmuls) are the same reduction as the in-bucket row scatter up to
+    float summation order.  200 docs / batch 64 leaves a 8-doc final
+    minibatch, exercising the -1-padded doc-selection rows end to end
+    (gamma assembly included)."""
+    runs = {}
+    for mode in ("scatter", "auto"):
+        eng = StochasticVariationalBayes(
+            _cfg("svi", gamma_init="ones", dense_vocab_threshold=0,
+                 bucket_sizes=(32, 64, 128), sstats_mode=mode)
+        )
+        eng.initialize(corpus)
+        ests = [eng.learning() for _ in range(2)]
+        ests += eng.learning_many(2)
+        runs[mode] = (
+            np.asarray(eng.state.lam), ests, np.asarray(eng.gamma)
+        )
+    assert runs["auto"][0].shape == runs["scatter"][0].shape
+    np.testing.assert_allclose(
+        runs["auto"][0], runs["scatter"][0], rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        runs["auto"][2], runs["scatter"][2], rtol=2e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(runs["auto"][1]), np.asarray(runs["scatter"][1]),
+        rtol=1e-4,
+    )
 
 
 def test_streaming_corpus_holds_no_documents(corpus, tmp_path):
