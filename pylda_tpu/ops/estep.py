@@ -10,11 +10,12 @@ layout) or two batched contractions against a gathered [D, T, K] block
 
 Convergence: the reference early-exits each document at
 mean|dgamma| < 1e-6.  Data-dependent per-document exits don't map to XLA's
-static traces, so we run a ``lax.while_loop`` over whole-batch sweeps and
-stop when the *worst* document's mean|dgamma| falls below threshold (or at
-``inner_iterations``).  Converged documents keep iterating but are already
-at their fixed point, so extra sweeps are no-ops numerically; parity is
-judged on perplexity, not iteration counts (SURVEY.md section 7.3).
+static traces, so we run a ``lax.while_loop`` over whole-batch sweeps in
+which each row FREEZES once below threshold (the reference's own
+per-document break) and the loop stops when every row is frozen or
+currently stalled at the bf16 noise floor (see ``_exit_update``), or at
+``inner_iterations``.  Parity is judged on perplexity, not iteration
+counts (SURVEY.md section 7.3).
 
 Returns per batch: (gamma, sstats, token_score, sweeps_used) where
 ``token_score = sum_dv c_dv log phinorm_dv`` is the
@@ -33,6 +34,45 @@ from pylda_tpu.ops.dirichlet import (
     exp_dirichlet_expectation,
     exp_dirichlet_expectation_fast,
 )
+
+
+def _exit_update(change, best, age, done, threshold, use_stall, patience):
+    """Shared per-row exit bookkeeping for the fixed-point loops.
+
+    Returns (best, age, done, exitable) where:
+
+    - ``done`` (sticky) marks rows whose mean|dgamma| has fallen below
+      the threshold — the reference's own per-document break
+      (SURVEY.md section 3.1).  Done rows FREEZE their gamma in the
+      callers: at the fixed point further sweeps are numerically
+      no-ops, and freezing makes each row's output independent of WHEN
+      the other rows exit — an exit-timing flip in one knife-edge row
+      (e.g. ulp reordering under vocab sharding) perturbs only that
+      row by at most one threshold-sized step instead of changing
+      every row's total sweep count (round-4 verdict item 4).
+    - ``exitable`` additionally includes CURRENTLY-stalled rows (no 1%
+      improvement of their best change for ``patience`` consecutive
+      sweeps — the bf16 limit-cycle noise floor).  Stalling is
+      deliberately NOT sticky and does NOT freeze: a row on a
+      legitimate mid-descent plateau resumes counting as active the
+      moment it improves again, and keeps updating while other rows
+      hold the loop open (a sticky stall-freeze variant measured a 2%
+      ELBO regression vs the f64 oracle by truncating exactly those
+      plateau rows).  The loop exits when every row is exitable.
+
+    ``threshold == 0`` disables freezing entirely (pure
+    run-to-the-cap semantics — the pinned-sweep parity tests rely on
+    bitwise-identical full-cap trajectories)."""
+    improved = change < 0.99 * best
+    age_new = jnp.where(improved, 0, age + 1)
+    best_new = jnp.minimum(best, change)
+    done_new = done
+    if threshold > 0.0:
+        done_new = jnp.logical_or(done_new, best_new <= threshold)
+    exitable = done_new
+    if use_stall:
+        exitable = jnp.logical_or(exitable, age_new >= patience)
+    return best_new, age_new, done_new, exitable
 
 
 @functools.partial(
@@ -78,32 +118,41 @@ def estep_dense(
         return gamma_new
 
     use_stall = stall_patience > 0 and convergence_threshold > 0.0
+    freeze = convergence_threshold > 0.0
 
     def cond(carry):
-        i, _gamma, _exp_etheta, best, age = carry
-        active = best > convergence_threshold
-        if use_stall:
-            active = jnp.logical_and(active, age < stall_patience)
-        return jnp.logical_and(i < inner_iterations, active.any())
+        i, _gamma, _exp_etheta, _best, _age, _done, exitable = carry
+        return jnp.logical_and(
+            i < inner_iterations, jnp.logical_not(exitable.all())
+        )
 
     def body(carry):
-        i, gamma, exp_etheta, best, age = carry
-        gamma_new = sweep(gamma, exp_etheta)
+        i, gamma, exp_etheta, best, age, done, _exitable = carry
+        gamma_prop = sweep(gamma, exp_etheta)
+        gamma_new = (
+            jnp.where(done[:, None], gamma, gamma_prop)
+            if freeze else gamma_prop
+        )
         change = jnp.abs(gamma_new - gamma).mean(axis=-1)
-        age = jnp.where(change < 0.99 * best, 0, age + 1)
+        best, age, done, exitable = _exit_update(
+            change, best, age, done, convergence_threshold, use_stall,
+            stall_patience,
+        )
         return (
             i + 1, gamma_new,
-            exp_dirichlet_expectation_fast(gamma_new),
-            jnp.minimum(best, change), age,
+            exp_dirichlet_expectation_fast(gamma_new), best, age, done,
+            exitable,
         )
 
     exp_etheta0 = exp_dirichlet_expectation(gamma_init)
     rows = gamma_init.shape[0]
-    i, gamma, _, _, _ = jax.lax.while_loop(
+    i, gamma, _, _, _, _, _ = jax.lax.while_loop(
         cond, body, (
             jnp.int32(0), gamma_init, exp_etheta0,
             jnp.full((rows,), jnp.inf, dtype=gamma_init.dtype),
             jnp.zeros((rows,), dtype=jnp.int32),
+            jnp.zeros((rows,), dtype=jnp.bool_),
+            jnp.zeros((rows,), dtype=jnp.bool_),
         )
     )
     # Exported statistics use the EXACT Dirichlet expectation at the
@@ -183,13 +232,14 @@ def _ragged_sweep_loop(
     Exit criterion: a row is DONE when its mean|dgamma| falls below the
     threshold — the reference's own per-document test — OR when it has
     gone ``stall_patience`` consecutive sweeps without improving its
-    best change by at least 1% ("stalled").  The loop exits when every
-    row is done (or at the ``inner_iterations`` cap).  The 1%/sweep
-    bar deliberately only catches near-ZERO progress (the bf16 noise
-    floor, where change oscillates around a constant): genuinely slow
-    fixed points (2-5%/sweep plateaus, common at small K) keep their
-    full sweep budget — a 5% bar measured a 2.2% ELBO regression vs
-    the f64 oracle on exactly those.
+    best change by at least 1% ("stalled").  Done rows freeze their
+    gamma (``_exit_update``); the loop exits when every row is done (or
+    at the ``inner_iterations`` cap).  The 1%/sweep bar deliberately
+    only catches near-ZERO progress (the bf16 noise floor, where change
+    oscillates around a constant): genuinely slow fixed points
+    (2-5%/sweep plateaus, common at small K) keep their full sweep
+    budget — a 5% bar measured a 2.2% ELBO regression vs the f64
+    oracle on exactly those.
 
     Why stall detection exists (measured on v5e at the flagship shape):
     XLA demotes these VPU batched-matvec contractions to bf16 operands
@@ -220,16 +270,16 @@ def _ragged_sweep_loop(
     )
     e_phinorm, e_update = _EINSUMS[layout]
     use_stall = stall_patience > 0 and convergence_threshold > 0.0
+    freeze = convergence_threshold > 0.0
 
     def cond(carry):
-        i, _gamma, _exp_etheta, best, age = carry
-        active = best > convergence_threshold
-        if use_stall:
-            active = jnp.logical_and(active, age < stall_patience)
-        return jnp.logical_and(i < inner_iterations, active.any())
+        i, _gamma, _exp_etheta, _best, _age, _done, exitable = carry
+        return jnp.logical_and(
+            i < inner_iterations, jnp.logical_not(exitable.all())
+        )
 
     def body(carry):
-        i, gamma, exp_etheta, best, age = carry
+        i, gamma, exp_etheta, best, age, done, _exitable = carry
         phinorm = (
             jnp.einsum(
                 e_phinorm, exp_etheta.astype(cdt), B,
@@ -237,17 +287,23 @@ def _ragged_sweep_loop(
             )
             + eps
         )
-        gamma_new = alpha[None, :] + exp_etheta * jnp.einsum(
+        gamma_prop = alpha[None, :] + exp_etheta * jnp.einsum(
             e_update, (cnts / phinorm).astype(cdt), B,
             preferred_element_type=acc_dtype,
         )
+        gamma_new = (
+            jnp.where(done[:, None], gamma, gamma_prop)
+            if freeze else gamma_prop
+        )
         change = jnp.abs(gamma_new - gamma).mean(axis=-1)
-        improved = change < 0.99 * best
-        age_new = jnp.where(improved, 0, age + 1)
-        best_new = jnp.minimum(best, change)
+        best, age, done, exitable = _exit_update(
+            change, best, age, done, convergence_threshold, use_stall,
+            stall_patience,
+        )
         return (
             i + 1, gamma_new,
-            exp_dirichlet_expectation_fast(gamma_new), best_new, age_new,
+            exp_dirichlet_expectation_fast(gamma_new), best, age, done,
+            exitable,
         )
 
     # Exact expectation at the init (once per call): keeps this loop
@@ -256,8 +312,10 @@ def _ragged_sweep_loop(
     rows = gamma_init.shape[0]
     best0 = jnp.full((rows,), jnp.inf, dtype=gamma_init.dtype)
     age0 = jnp.zeros((rows,), dtype=jnp.int32)
-    i, gamma, _exp_etheta, _best, _age = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), gamma_init, exp_etheta0, best0, age0)
+    done0 = jnp.zeros((rows,), dtype=jnp.bool_)
+    i, gamma, _exp_etheta, _best, _age, _done, _ex = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), gamma_init, exp_etheta0, best0, age0,
+                     done0, done0)
     )
     return i, gamma
 
@@ -403,36 +461,45 @@ def estep_ragged(
         )
 
     use_stall = stall_patience > 0 and convergence_threshold > 0.0
+    freeze = convergence_threshold > 0.0
 
     def cond(carry):
-        i, _gamma, _exp_etheta, best, age = carry
-        active = best > convergence_threshold
-        if use_stall:
-            active = jnp.logical_and(active, age < stall_patience)
-        return jnp.logical_and(i < inner_iterations, active.any())
+        i, _gamma, _exp_etheta, _best, _age, _done, exitable = carry
+        return jnp.logical_and(
+            i < inner_iterations, jnp.logical_not(exitable.all())
+        )
 
     def body(carry):
-        i, gamma, exp_etheta, best, age = carry
+        i, gamma, exp_etheta, best, age, done, _exitable = carry
         phinorm = phinorm_of(exp_etheta)
-        gamma_new = alpha[None, :] + exp_etheta * jnp.einsum(
+        gamma_prop = alpha[None, :] + exp_etheta * jnp.einsum(
             e_update, (cnts / phinorm).astype(cdt), B,
             preferred_element_type=acc_dtype,
         )
+        gamma_new = (
+            jnp.where(done[:, None], gamma, gamma_prop)
+            if freeze else gamma_prop
+        )
         change = jnp.abs(gamma_new - gamma).mean(axis=-1)
-        age = jnp.where(change < 0.99 * best, 0, age + 1)
+        best, age, done, exitable = _exit_update(
+            change, best, age, done, convergence_threshold, use_stall,
+            stall_patience,
+        )
         return (
             i + 1, gamma_new,
-            exp_dirichlet_expectation_fast(gamma_new),
-            jnp.minimum(best, change), age,
+            exp_dirichlet_expectation_fast(gamma_new), best, age, done,
+            exitable,
         )
 
     exp_etheta0 = exp_dirichlet_expectation(gamma_init)
     rows = gamma_init.shape[0]
-    i, gamma, _, _, _ = jax.lax.while_loop(
+    done0 = jnp.zeros((rows,), dtype=jnp.bool_)
+    i, gamma, _, _, _, _, _ = jax.lax.while_loop(
         cond, body, (
             jnp.int32(0), gamma_init, exp_etheta0,
             jnp.full((rows,), jnp.inf, dtype=gamma_init.dtype),
             jnp.zeros((rows,), dtype=jnp.int32),
+            done0, done0,
         )
     )
     # Exported statistics use the EXACT Dirichlet expectation at the

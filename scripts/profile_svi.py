@@ -1,17 +1,17 @@
 #!/usr/bin/env python
-"""Op-level device-trace attribution of an SVI epoch (config-5 shape).
+"""Per-op device trace of an SVI epoch (VERDICT round-4 item 1).
 
-Round-4 follow-up: BENCH_SUITE's config 5 (SVI K=1000 V=100k) reports
-mfu 0.016 — the lowest row in the suite — and config 4 sits at 0.10.
-The flagship per-op tracing method (scripts/profile_sweep.py, xplane
-proto parsed directly) is the wall-timing-immune way to find out where
-the epoch actually goes: E-step sweeps vs sstats vs the natural-gradient
-lambda update vs [K,V] exp-psi vs gather/packing glue.
+Config 5 (K=1000, V=100k, batch 2048) runs at mfu ~0.016 and has never
+been traced: the per-op xplane method that moved the headline
+(0.16 -> 0.253) and config 2 (4.56x) is pointed here at the BASELINE
+multi-chip flagship's single-chip step.  Traces ``learning_many(n)``
+(the production fused path) and prints the leaf-op table.
 
-Usage: python scripts/profile_svi.py [--topics 1000 --types 100000 ...]
+Usage: python scripts/profile_svi.py [--config 5|4] [--epochs 2]
 """
 
 import argparse
+import json
 import os
 import sys
 import tempfile
@@ -23,47 +23,61 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scripts.profile_sweep import capture, xplane_op_table  # noqa: E402
+from scripts.xplane_leaves import leaf_table  # noqa: E402
 
 from pylda_tpu.corpus.synthetic import synthetic_corpus  # noqa: E402
 from pylda_tpu.models import make_engine  # noqa: E402
 from pylda_tpu.utils.config import LDAConfig  # noqa: E402
 
+SHAPES = {
+    4: dict(num_docs=16_384, num_topics=200, num_types=50_000,
+            mean_doc_length=150.0, seed=3, batch_size=1024,
+            inner_iterations=50),
+    5: dict(num_docs=8_192, num_topics=1000, num_types=100_000,
+            mean_doc_length=150.0, seed=4, batch_size=2048,
+            inner_iterations=30),
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--topics", type=int, default=1000)
-    ap.add_argument("--types", type=int, default=100_000)
-    ap.add_argument("--docs", type=int, default=8192)
-    ap.add_argument("--batch", type=int, default=2048)
-    ap.add_argument("--inner", type=int, default=30)
-    ap.add_argument("--mean_len", type=float, default=150.0)
+    ap.add_argument("--config", type=int, default=5, choices=(4, 5))
     ap.add_argument("--epochs", type=int, default=2)
-    ap.add_argument("--warm", type=int, default=4)
+    ap.add_argument("--warm", type=int, default=4,
+                    help="untraced epochs first (steady-state sweep counts)")
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--inner", type=int, default=0,
+                    help="override inner_iterations")
+    ap.add_argument("--sstats_mode", default=None)
     args = ap.parse_args()
 
-    corpus, _, _ = synthetic_corpus(
-        num_docs=args.docs, num_topics=args.topics,
-        num_types=args.types, mean_doc_length=args.mean_len, seed=4,
+    sh = dict(SHAPES[args.config])
+    bs = sh.pop("batch_size")
+    inner = args.inner or sh.pop("inner_iterations")
+    sh.pop("inner_iterations", None)
+    corpus, _, _ = synthetic_corpus(**sh)
+    kw = dict(
+        number_of_topics=sh["num_topics"], inference_mode="svi",
+        batch_size=bs, tau0=64.0, kappa=0.7, seed=0,
+        inner_iterations=inner,
     )
-    cfg = LDAConfig(
-        number_of_topics=args.topics, inference_mode="svi",
-        batch_size=args.batch, tau0=64.0, kappa=0.7, seed=0,
-        inner_iterations=args.inner,
-    )
-    eng = make_engine(cfg)
+    if args.sstats_mode:
+        kw["sstats_mode"] = args.sstats_mode
+    eng = make_engine(LDAConfig(**kw))
     eng.initialize(corpus)
-    if args.warm:
-        eng.learning_many(args.warm)
 
-    logdir = tempfile.mkdtemp(prefix="svitrace_", dir="/tmp")
-    capture(eng, args.epochs, logdir)
-    print(f"trace in {logdir}")
-
-    import json
-
-    table = xplane_op_table(logdir)
-    print(json.dumps(table, indent=1, default=str)[:9000])
+    eng.learning_many(args.warm)  # compile + warm into steady state
+    logdir = tempfile.mkdtemp(prefix=f"svitrace_c{args.config}_", dir="/tmp")
+    with jax.profiler.trace(logdir):
+        eng.learning_many(args.epochs)
+        jax.block_until_ready(eng.state.lam)
+    print(f"trace in {logdir} ({args.epochs} epochs, "
+          f"{corpus.num_docs} docs/epoch)")
+    table = leaf_table(logdir, args.top)
+    table["ms_per_epoch_leafsum"] = round(
+        table["leaf_busy_ms"] / args.epochs, 3
+    )
+    print(json.dumps(table, indent=1))
 
 
 if __name__ == "__main__":

@@ -77,13 +77,19 @@ def test_engine_use_pallas_end_to_end():
     corpus, _, _ = synthetic_corpus(
         num_docs=64, num_topics=4, num_types=128, mean_doc_length=25, seed=2
     )
+    # threshold=0 pins both engines to the 15-sweep cap: the XLA path's
+    # per-row freeze exit (ops/estep._exit_update) and the kernel's
+    # per-tile convergence exit otherwise diverge legitimately in WHEN
+    # they stop, and this test is about kernel MATH parity.
     ref_cfg = LDAConfig(
         number_of_topics=4, inference_mode="vb", inner_iterations=15,
         doc_pad_multiple=8, gamma_init="ones", seed=0,
+        convergence_threshold=0.0,
     )
     pal_cfg = LDAConfig(
         number_of_topics=4, inference_mode="vb", inner_iterations=15,
         doc_pad_multiple=8, gamma_init="ones", seed=0, use_pallas="always",
+        convergence_threshold=0.0,
     )
     ref, pal = VariationalBayes(ref_cfg), VariationalBayes(pal_cfg)
     ref.initialize(corpus)
@@ -172,6 +178,7 @@ def test_engine_use_pallas_ragged_end_to_end():
     common = dict(
         number_of_topics=4, inference_mode="vb", inner_iterations=15,
         doc_pad_multiple=8, gamma_init="ones", seed=0,
+        convergence_threshold=0.0,  # pin sweeps: math parity, not exits
     )
     ref_cfg = LDAConfig(**common)
     pal_cfg = LDAConfig(**common, use_pallas="always")

@@ -187,18 +187,36 @@ def test_svi_doc_sharded_matches_single_device(corpus, lam_init):
 
 def test_svi_vocab_sharded_matches(corpus, lam_init):
     """SVI with lambda vocab-sharded on "model" (the K=1000/V=100k
-    HBM-pressure layout of BASELINE config 5).
+    HBM-pressure layout of BASELINE config 5) — at SHIPPING DEFAULTS,
+    including the stall exit (round-4 verdict item 4).
 
-    stall_patience=0 pins the pure threshold/cap exit: the stall exit's
-    per-row 1%-improvement comparisons sit on knife edges, and vocab
-    sharding reorders the contraction reductions by ulps — enough to
-    flip one row's exit sweep and fail an arithmetic-parity tolerance
-    that the sharded MATH itself meets."""
-    ref, ref_ests = _run_svi(corpus, lam_init, estep_stall_patience=0)
+    Vocab sharding reorders contraction reductions by ulps, which can
+    flip a knife-edge row's exit sweep.  Threshold-converged rows
+    FREEZE their gamma (ops/estep._exit_update), so they are immune to
+    when the rest of the batch exits; a stall-edge flip can still give
+    the remaining plateau rows one extra near-noise-floor sweep, which
+    the statistical tolerance covers.  (An exact-parity variant at
+    pinned sweeps lives below.)"""
+    ref, ref_ests = _run_svi(corpus, lam_init)
+    mesh = make_mesh(shape=(4, 2))
+    sh, sh_ests = _run_svi(corpus, lam_init, mesh=mesh, shard_vocab=True)
+    for a, b in zip(ref_ests, sh_ests):
+        assert abs(a - b) / abs(a) < 1e-3, (ref_ests, sh_ests)
+    np.testing.assert_allclose(
+        np.asarray(ref.state.lam), np.asarray(sh.state.lam), rtol=5e-3,
+        atol=1e-5,
+    )
+
+
+def test_svi_vocab_sharded_matches_pinned_sweeps(corpus, lam_init):
+    """Exact-parity variant: threshold=0 pins the sweep count to the
+    cap, so the vocab-sharded run must match the unsharded one to pure
+    arithmetic reordering tolerance (no exit-timing freedom at all)."""
+    kw = dict(convergence_threshold=0.0, inner_iterations=20)
+    ref, ref_ests = _run_svi(corpus, lam_init, **kw)
     mesh = make_mesh(shape=(4, 2))
     sh, sh_ests = _run_svi(
-        corpus, lam_init, mesh=mesh, shard_vocab=True,
-        estep_stall_patience=0,
+        corpus, lam_init, mesh=mesh, shard_vocab=True, **kw
     )
     for a, b in zip(ref_ests, sh_ests):
         assert abs(a - b) / abs(a) < 1e-4, (ref_ests, sh_ests)
