@@ -29,6 +29,17 @@ class ChipPeaks:
     # the ragged sweep's batched per-document matvecs, which cannot tile
     # onto the MXU (each document contracts its own [T, K] block).
     vpu_flops: float = 7.7e12
+    # Achievable elementwise transcendental rates (elems/s), MEASURED on
+    # the benched v5e by scripts/transcendental_rate.py over a
+    # [1000, 100000] block (scan-chained, best-of-3) and rounded UP —
+    # a too-high rate only loosens the bound, never flatters mfu.
+    # lgamma is a ~40-op rational+log composite, log/digamma cheaper;
+    # these price the Griffiths–Steyvers joint likelihood, beta_elbo,
+    # and factor-refresh phases the round-4 roofline omitted.
+    # Measured 2026-08-20: lgamma 1.77e10, digamma 1.2e10, log/exp
+    # ~1.4e11 elems/s (n=128 chained, host-fetch timed).
+    lgamma_per_sec: float = 2.0e10
+    log_per_sec: float = 1.5e11
 
     def flops(self, compute_dtype: str) -> float:
         return (
@@ -255,18 +266,145 @@ def _batch_sweep_bound_ms(b, cfg, peaks: ChipPeaks) -> float:
     return max(compute_ms, hbm_ms)
 
 
+def rebuild_bound_ms(slots: int, K: int, V: int, peaks: ChipPeaks) -> float:
+    """Roofline bound for ONE [K, V] count-table rebuild from per-slot
+    assignments (the Gibbs/hybrid ``assignment_counts`` segment-sum).
+
+    Implementation-independent floor: the (token id, topic) pair of
+    every slot must be read once (8 bytes) and the [K, V] table written
+    once — any one_hot materialisation or scatter row traffic the
+    current implementation pays sits ABOVE this.  The round-4 verdict
+    (item 3) flagged that omitting this phase made the gibbs mfu
+    meaningless: the trace put the rebuild at 63% of the sweep."""
+    return (slots * 8 + K * V * 4) / peaks.hbm_bytes * 1e3
+
+
+def gibbs_learning_phase_bounds(
+    eng, peaks: Optional[ChipPeaks] = None
+) -> Dict[str, float]:
+    """Per-phase roofline bounds (ms) for ONE ``MonteCarlo.learning()``
+    sweep — ALL phases of the fused dispatch, so the suite mfu is
+    comparable with the VB family's (round-4 verdict item 3):
+
+    - ``sampling``: the per-position block scan (existing sweep bound);
+    - ``rebuild``: the n_kv segment-sum (``rebuild_bound_ms``);
+    - ``factor_refresh``: log phi_hat = log(n_kv+beta) - log(n_k+sum b)
+      — [K, V] read + write or a log per element, whichever binds;
+    - ``joint_ll``: the Griffiths–Steyvers surfaces — lgamma over the
+      [K, V] topic table and the [rows, K] doc tables, at the measured
+      achievable lgamma rate (scripts/transcendental_rate.py)."""
+    peaks = peaks or ChipPeaks()
+    cfg = eng._config
+    K, V = cfg.number_of_topics, len(eng._vocab)
+    slots = sum(b.tokens.shape[0] * b.tokens.shape[1] for b in eng._buckets)
+    rows = sum(b.tokens.shape[0] for b in eng._buckets)
+    return {
+        "sampling": sum(
+            _batch_sweep_bound_ms(b, cfg, peaks) for b in eng._buckets
+        ),
+        "rebuild": rebuild_bound_ms(slots, K, V, peaks),
+        "factor_refresh": max(
+            2 * K * V * 4 / peaks.hbm_bytes * 1e3,
+            K * V / peaks.log_per_sec * 1e3,
+        ),
+        "joint_ll": (K * V + rows * K) / peaks.lgamma_per_sec * 1e3,
+    }
+
+
+def svi_epoch_phase_bounds(
+    eng, peaks: Optional[ChipPeaks] = None
+) -> Dict[str, float]:
+    """Per-phase roofline bounds (ms) for ONE SVI epoch beyond the gamma
+    sweeps (which ``_svi_epoch_bound_ms`` prices separately): the
+    sufficient statistics, the natural-gradient lambda step, the
+    per-minibatch exp E[log beta] refresh, and the once-per-epoch
+    topic-side bound term.  Round-4 verdict item 3: the old epoch bound
+    was "sweeps-only, conservative" — at config 5 these phases are the
+    majority of the epoch, so their omission made mfu 0.016 unreadable.
+    """
+    import jax
+
+    peaks = peaks or ChipPeaks()
+    cfg = eng._config
+    K, V = cfg.number_of_topics, len(eng._vocab)
+    t_save = eng._t
+    try:
+        batch_lists = eng._epoch_batches(0)[0]
+    finally:
+        eng._t = t_save
+    n_mb = len(batch_lists)
+    out: Dict[str, float] = {}
+
+    plan = getattr(eng, "_mb_sstats", None)
+    if plan is not None:
+        # Scatter-free dense path: two MXU matmuls per minibatch chunk
+        # over the [b_cap, V_pad] gathered count rows.
+        vc = plan["rows"].shape[1]
+        rows_mb = sum(plan["chunk_sizes"])
+        it = plan["rows"].dtype.itemsize
+        mm_peak = peaks.mxu_flops_bf16 if it == 2 else peaks.mxu_flops
+        flops = 4 * rows_mb * vc * K
+        bytes_ = 2 * rows_mb * vc * it  # gather read + kernel read
+        if cfg.resolved_sstats_kernel(jax.default_backend()) != "pallas":
+            bytes_ += 3 * rows_mb * vc * 4  # phinorm HBM round trips
+        out["sstats"] = (
+            n_mb * max(flops / mm_peak, bytes_ / peaks.hbm_bytes) * 1e3
+        )
+    else:
+        # In-bucket scatter: read each slot once, outer-product flops on
+        # the VPU, write the [K, V] partial.
+        slots = 0
+        dense_rows = 0
+        for bl in batch_lists:
+            for b in bl:
+                if hasattr(b, "ids"):
+                    slots += b.ids.shape[0] * b.ids.shape[1]
+                else:
+                    dense_rows += b.counts.shape[0]
+        if slots:
+            out["sstats"] = (
+                max(
+                    2 * slots * K / peaks.vpu_flops,
+                    (slots * 8 + n_mb * K * V * 4) / peaks.hbm_bytes,
+                )
+                * 1e3
+            )
+        else:  # dense layout: sstats is one more matmul pair per row
+            out["sstats"] = (
+                4 * dense_rows * V * K / peaks.flops(cfg.compute_dtype)
+                * 1e3
+            )
+    # Natural-gradient lambda step: read lam + sstats, write lam.
+    out["natural_gradient"] = n_mb * 3 * K * V * 4 / peaks.hbm_bytes * 1e3
+    # exp E[log beta] refresh per minibatch: read lam, write the factor.
+    out["elog_beta"] = n_mb * 2 * K * V * 4 / peaks.hbm_bytes * 1e3
+    # Topic-side bound term, once per epoch at the final lambda.
+    out["beta_elbo"] = K * V / peaks.lgamma_per_sec * 1e3
+    return out
+
+
 def pass_bound_ms(engine, peaks: Optional[ChipPeaks] = None) -> float:
     """Roofline lower bound (ms) for ONE full training pass at the
     engine's current state: the per-sweep bound scaled by each batch's
     measured converged sweep count, plus the sstats and E[log beta]
-    phases.  ``measured_pass_ms / pass_bound_ms`` is the headline
-    utilisation ("mfu") bench.py reports."""
+    phases (and, on the hybrid sequence layout, the per-kept-sweep
+    count-table accumulation).  ``measured_pass_ms / pass_bound_ms`` is
+    the headline utilisation ("mfu") bench.py reports."""
     peaks = peaks or ChipPeaks()
     cfg = engine._config
     sweeps = measured_sweep_counts(engine)
     total = 0.0
+    K = cfg.number_of_topics
+    V = len(engine._vocab) if getattr(engine, "_vocab", None) else 0
     for b, s in zip(engine._batches, sweeps):
         total += _batch_sweep_bound_ms(b, cfg, peaks) * s
+        if hasattr(b, "tokens") and V:
+            # Hybrid kept sweeps each accumulate assignment counts into
+            # the [K, V] sstats table (round-4 verdict item 3).
+            slots = b.tokens.shape[0] * b.tokens.shape[1]
+            total += rebuild_bound_ms(slots, K, V, peaks) * max(
+                1, cfg.number_of_samples
+            )
     model = estep_cost_model(engine, peaks)
     for phase in ("sstats", "elog_beta"):
         if phase in model:
@@ -278,10 +416,10 @@ def _svi_epoch_bound_ms(eng, peaks: ChipPeaks) -> float:
     """Roofline lower bound for ONE SVI epoch: the per-sweep bound of
     every minibatch chunk x a measured converged sweep count per
     distinct chunk shape (one probe dispatch per shape — the fixed
-    negotiated geometry keeps that to a handful).  Deliberately a
-    LOWER bound: the natural-gradient update, sstats scatter, and
-    E[log beta] phases are omitted, so the reported utilisation is
-    conservative."""
+    negotiated geometry keeps that to a handful), PLUS the
+    sstats / natural-gradient / E[log beta] / beta_elbo phase bounds
+    (``svi_epoch_phase_bounds`` — round-4 verdict item 3: the old
+    sweeps-only bound omitted the majority of the config-5 epoch)."""
     import jax
 
     from pylda_tpu.models.vb import _gamma_init
@@ -327,6 +465,7 @@ def _svi_epoch_bound_ms(eng, peaks: ChipPeaks) -> float:
             total += _batch_sweep_bound_ms(b, cfg, peaks) * sweeps_by_shape[
                 shape
             ]
+    total += sum(svi_epoch_phase_bounds(eng, peaks).values())
     return total
 
 
@@ -336,13 +475,16 @@ def suite_mfu(eng, measured_seconds: float) -> float:
     bench_suite.py reports for every BASELINE config (SURVEY.md
     section 5 occupancy; round-3 verdict item 4).
 
-    Engine-specific accounting:
+    Engine-specific accounting — FULL-phase on every engine (round-4
+    verdict item 3: a bound that omits the dominant phase makes mfu
+    incomparable across engines):
       - vb / hybrid: ``pass_bound_ms`` (sweep bound x measured converged
-        counts + sstats + E[log beta]; hybrid's sequence layout runs the
-        fixed burn_in + num_samples sweeps).
-      - gibbs: ONE sweep per ``learning()`` over the sequence buckets
-        (the n_kv rebuild and bookkeeping are omitted — a LOWER bound).
-      - svi: ``_svi_epoch_bound_ms`` (sweeps-only, conservative).
+        counts + sstats + E[log beta] + the hybrid kept-sweep count
+        accumulation).
+      - gibbs: ``gibbs_learning_phase_bounds`` — sampling scan + n_kv
+        rebuild + factor refresh + Griffiths–Steyvers joint LL.
+      - svi: ``_svi_epoch_bound_ms`` (sweeps + sstats +
+        natural-gradient + E[log beta] + beta_elbo).
     """
     peaks = ChipPeaks()
     cfg = eng._config
@@ -350,9 +492,7 @@ def suite_mfu(eng, measured_seconds: float) -> float:
     if mode == "svi":
         bound = _svi_epoch_bound_ms(eng, peaks)
     elif mode == "gibbs":
-        bound = sum(
-            _batch_sweep_bound_ms(b, cfg, peaks) for b in eng._buckets
-        )
+        bound = sum(gibbs_learning_phase_bounds(eng, peaks).values())
     else:
         bound = pass_bound_ms(eng, peaks)
     return round(utilisation(measured_seconds * 1e3, bound), 6)

@@ -143,6 +143,99 @@ def test_hybrid_sequence_layout_report():
     assert 0.0 <= rep["iteration"]["utilisation"] <= 1.0
 
 
+def test_gibbs_bound_includes_dominant_phases():
+    """The gibbs suite bound must price ALL phases of one learning()
+    dispatch — the round-4 verdict flagged that omitting the n_kv
+    rebuild (63% of the traced sweep) made mfu 0.011 meaningless."""
+    from pylda_tpu.models import make_engine
+    from pylda_tpu.utils.roofline import (
+        ChipPeaks,
+        gibbs_learning_phase_bounds,
+        rebuild_bound_ms,
+    )
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=96, num_topics=6, num_types=5000, mean_doc_length=25,
+        seed=0,
+    )
+    eng = make_engine(LDAConfig(
+        number_of_topics=6, inference_mode="gibbs", seed=0,
+    ))
+    eng.initialize(corpus)
+    peaks = ChipPeaks()
+    phases = gibbs_learning_phase_bounds(eng, peaks)
+    assert set(phases) == {
+        "sampling", "rebuild", "factor_refresh", "joint_ll"
+    }
+    assert all(v > 0 for v in phases.values()), phases
+    # The rebuild floor: at least the [K, V] table write.
+    assert phases["rebuild"] >= rebuild_bound_ms(0, 6, 5000, peaks)
+    # The full bound strictly exceeds the sampling-only round-4 bound.
+    assert sum(phases.values()) > phases["sampling"]
+
+
+def test_svi_bound_includes_dominant_phases():
+    """The SVI epoch bound must include sstats, the natural-gradient
+    lambda step, the per-minibatch factor refresh, and beta_elbo — the
+    round-4 bound was sweeps-only while these phases dominate the
+    config-5 epoch."""
+    from pylda_tpu.models import make_engine
+    from pylda_tpu.utils.roofline import (
+        ChipPeaks,
+        _svi_epoch_bound_ms,
+        svi_epoch_phase_bounds,
+    )
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=96, num_topics=6, num_types=5000, mean_doc_length=25,
+        seed=0,
+    )
+    eng = make_engine(LDAConfig(
+        number_of_topics=6, inference_mode="svi", batch_size=32, seed=0,
+    ))
+    eng.initialize(corpus)
+    peaks = ChipPeaks()
+    phases = svi_epoch_phase_bounds(eng, peaks)
+    assert {"sstats", "natural_gradient", "elog_beta", "beta_elbo"} <= set(
+        phases
+    )
+    assert all(v > 0 for v in phases.values()), phases
+    # 3 minibatches of 32 over 96 docs: the lambda-step traffic bound is
+    # n_mb * 3 * K * V * 4 bytes exactly.
+    expect = 3 * 3 * 6 * 5000 * 4 / peaks.hbm_bytes * 1e3
+    assert abs(phases["natural_gradient"] - expect) / expect < 1e-6
+    # The full epoch bound includes every phase on top of the sweeps.
+    assert _svi_epoch_bound_ms(eng, peaks) > sum(phases.values())
+
+
+def test_hybrid_bound_includes_kept_sweep_rebuilds():
+    """pass_bound_ms on the hybrid sequence layout must include the
+    per-kept-sweep [K, V] count accumulation (round-4 verdict item 3)."""
+    from pylda_tpu.models import Hybrid
+    from pylda_tpu.utils.roofline import (
+        ChipPeaks,
+        _batch_sweep_bound_ms,
+        measured_sweep_counts,
+        pass_bound_ms,
+    )
+
+    corpus, _, _ = synthetic_corpus(
+        num_docs=64, num_topics=8, num_types=300, mean_doc_length=30,
+        seed=0,
+    )
+    eng = Hybrid(LDAConfig(
+        number_of_topics=8, inference_mode="hybrid", seed=0,
+        bucket_sizes=(32, 64), number_of_samples=3, burn_in_sweeps=2,
+    ))
+    eng.initialize(corpus)
+    peaks = ChipPeaks()
+    sweeps_only = sum(
+        _batch_sweep_bound_ms(b, eng._config, peaks) * s
+        for b, s in zip(eng._batches, measured_sweep_counts(eng))
+    )
+    assert pass_bound_ms(eng, peaks) > sweeps_only
+
+
 def test_suite_mfu_all_engine_kinds():
     """bench_suite's per-row mfu (round-3 verdict item 4): every engine
     kind produces a finite utilisation in (0, 1] from one measured
