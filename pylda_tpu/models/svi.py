@@ -162,11 +162,12 @@ class StochasticVariationalBayes(VariationalBayes):
         ``sstats_mode="auto"``, single-process (each host would need the
         global matrix), docs in RAM, total dense bytes within
         ``sstats_dense_total_budget_mb``.  Returns None (keep the
-        in-bucket scatter) or a dict with ``rows`` ([D+1, V_pad] device
-        array), ``nonempty`` ([D+1] f32), ``num_docs``, ``b_cap`` (the
-        static per-minibatch doc-index length) and ``chunk_sizes``
-        (b_cap split so each [chunk, V_pad] phinorm fits
-        ``sstats_dense_budget_mb``)."""
+        in-bucket scatter) or a dict with ``rows`` (a TUPLE of
+        [D+1, w_j] device arrays — the dense matrix pre-split into
+        ~50 KB-row vocab chunks, see the inline note), ``nonempty``
+        ([D+1] f32), ``num_docs``, ``b_cap`` (the static per-minibatch
+        doc-index length) and ``chunk_sizes`` (b_cap split so each
+        [chunk, V_pad] phinorm fits ``sstats_dense_budget_mb``)."""
         cfg = self._config
         if cfg.sstats_mode == "scatter":
             return None
@@ -177,8 +178,6 @@ class StochasticVariationalBayes(VariationalBayes):
             and jax.process_count() > 1
         ):
             return None
-        if getattr(corpus, "docs", None) is None:
-            return None  # disk-backed streaming: rows are not in RAM
         D, V = corpus.num_docs, corpus.num_types
         if D == 0 or cfg.batch_size <= 0:
             return None
@@ -186,7 +185,12 @@ class StochasticVariationalBayes(VariationalBayes):
         budget = cfg.sstats_dense_total_budget_mb * 1e6
         if (D + 1) * v_pad * 2 > budget:  # even bf16 storage exceeds it
             return None
+        # Disk-backed (StreamingCorpus) rows qualify: to_dense reads the
+        # row sidecar/parse blockwise, and the budget gate above already
+        # bounds the materialisation.  Non-empty flags come from the row
+        # sums (corpus.docs is absent on the streaming path).
         rows = np.zeros((D + 1, v_pad), np.float32)
+        nonempty_np = np.zeros((D + 1,), np.float32)
         step = max(1, int(64e6 // max(1, 4 * V)))
         maxc = 0.0
         for start in range(0, D, step):
@@ -195,22 +199,36 @@ class StochasticVariationalBayes(VariationalBayes):
                 corpus.to_dense(doc_indices=range(start, stop)).counts
             )
             rows[start:stop, :V] = c
+            nonempty_np[start:stop] = (c.sum(axis=1) > 0).astype(np.float32)
             maxc = max(maxc, float(c.max(initial=0.0)))
         # bfloat16 is exact for integer counts <= 256 (same argument and
         # gate as the batch-VB chunks); larger counts keep float32.
         dtype = jnp.bfloat16 if maxc <= 256.0 else jnp.float32
-        if (D + 1) * v_pad * np.dtype(dtype).itemsize > budget:
+        itemsize = np.dtype(dtype).itemsize
+        if (D + 1) * v_pad * itemsize > budget:
             return None
-        arr = jnp.asarray(rows, dtype=dtype)
-        nonempty = jnp.asarray(
-            [d.size > 0 for d in corpus.docs] + [False], jnp.float32
-        )
+        # Store the matrix pre-split into vocab chunks of ~50 KB rows.
+        # The round-5 per-op trace of the config-5 epoch showed XLA
+        # lowering the per-minibatch row gather over the single
+        # [D+1, 100352] array as a SPLIT of the whole corpus into
+        # 25088-wide pieces (a 1.6 GB relayout, 5.1 ms) before gathering
+        # each piece; pre-splitting at plan time feeds the same gathers
+        # without the per-minibatch full-corpus repack.
+        n_vchunks = max(1, -(-(v_pad * itemsize) // (50 * 1024)))
+        w = round_up(-(-v_pad // n_vchunks), 1024)
+        vchunks = []
+        for j0 in range(0, v_pad, w):
+            vchunks.append(
+                jnp.asarray(rows[:, j0 : j0 + w], dtype=dtype)
+            )
+        nonempty = jnp.asarray(nonempty_np)
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep = NamedSharding(self._mesh, P())
-            arr = jax.device_put(arr, rep)
+            vchunks = [jax.device_put(a, rep) for a in vchunks]
             nonempty = jax.device_put(nonempty, rep)
+        arr = tuple(vchunks)
         b_cap = round_up(cfg.batch_size, cfg.doc_pad_multiple)
         rows_budget = max(
             cfg.doc_pad_multiple,
@@ -275,7 +293,7 @@ class StochasticVariationalBayes(VariationalBayes):
         ``_mb_rows_args`` for why they must not be closed over."""
         plan = self._mb_sstats
         if plan is not None and doc_sel is not None and mb_rows is not None:
-            rows, nonempty = mb_rows
+            rows_vchunks, nonempty = mb_rows
             D = plan["num_docs"]
             safe = jnp.where(doc_sel >= 0, doc_sel, D)
             chunks = []
@@ -283,9 +301,17 @@ class StochasticVariationalBayes(VariationalBayes):
             for c in plan["chunk_sizes"]:
                 ds = doc_sel[s0 : s0 + c]
                 gidx = jnp.where(ds >= 0, ds, D)  # sentinel zero row
+                # Gather per vocab chunk (the plan stores the matrix
+                # pre-split — see _plan_mb_dense_sstats) and reassemble
+                # the minibatch-rows block; the concat moves only the
+                # gathered rows, not the corpus.
+                gathered = [rc[gidx] for rc in rows_vchunks]
                 chunks.append(
                     DenseBatch(
-                        counts=rows[gidx],
+                        counts=(
+                            gathered[0] if len(gathered) == 1
+                            else jnp.concatenate(gathered, axis=1)
+                        ),
                         mask=(ds >= 0).astype(lam.dtype),
                         doc_ids=ds,
                     )
@@ -360,8 +386,12 @@ class StochasticVariationalBayes(VariationalBayes):
         total_mb = sum(hist[s] * s for s in sizes) * 8 / 1e6
         if total_mb > cfg.svi_device_rows_budget_mb:
             return None  # the corpora-larger-than-HBM streaming regime
-        if getattr(corpus, "docs", None) is None:
-            return None  # disk-backed: rows are not in RAM to upload
+        # Disk-backed (StreamingCorpus) rows qualify too: the budget
+        # check above ran on the histogram alone, and materialising
+        # under-budget rows once at init (via the memmapped row sidecar
+        # when present) beats re-packing + re-uploading them every epoch
+        # — round-4 verdict item 5 measured the host path ~3x off the
+        # device-rows bound at the wiki shape.
         buckets = {
             b.ids.shape[1]: b
             for b in corpus.to_ragged_buckets(
@@ -439,8 +469,6 @@ class StochasticVariationalBayes(VariationalBayes):
         D, V = corpus.num_docs, corpus.num_types
         if (D + 1) * V * 4 / 1e6 > cfg.svi_device_rows_budget_mb:
             return None
-        if getattr(corpus, "docs", None) is None:
-            return None  # disk-backed streaming
         if D == 0 or cfg.batch_size <= 0:
             return None
         b = corpus.to_dense()

@@ -192,10 +192,12 @@ class LDAConfig:
     # gathers its minibatch buckets on device.  Replaces the per-epoch
     # host repack (~0.25 s/epoch at the config-4 shape) and the per-epoch
     # corpus re-upload (~50 MB through a tunnel) with ~100 KB of
-    # indices.  Auto-disabled when the rows exceed this budget (that is
-    # the corpora-larger-than-HBM regime SVI streaming exists for), for
-    # process-local corpora (each host re-parses its block), and for
-    # disk-backed streaming corpora.
+    # indices.  Disk-backed (StreamingCorpus) input qualifies too: its
+    # rows materialise once at init (via the memmapped row sidecar when
+    # present) and epochs never touch the disk again.  Auto-disabled
+    # when the rows exceed this budget (the corpora-larger-than-HBM
+    # regime the host-repack streaming path exists for) and for
+    # process-local corpora (each host re-parses its block).
     svi_device_rows_budget_mb: int = 2048
 
     # Backend for the scatter-free dense sufficient statistics

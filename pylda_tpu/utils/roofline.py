@@ -339,9 +339,11 @@ def svi_epoch_phase_bounds(
     if plan is not None:
         # Scatter-free dense path: two MXU matmuls per minibatch chunk
         # over the [b_cap, V_pad] gathered count rows.
-        vc = plan["rows"].shape[1]
+        # plan["rows"] is a tuple of vocab-chunk arrays (round-5: the
+        # matrix is stored pre-split to kill a per-minibatch repack).
+        vc = sum(a.shape[1] for a in plan["rows"])
         rows_mb = sum(plan["chunk_sizes"])
-        it = plan["rows"].dtype.itemsize
+        it = plan["rows"][0].dtype.itemsize
         mm_peak = peaks.mxu_flops_bf16 if it == 2 else peaks.mxu_flops
         flops = 4 * rows_mb * vc * K
         bytes_ = 2 * rows_mb * vc * it  # gather read + kernel read

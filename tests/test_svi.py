@@ -464,10 +464,15 @@ def test_prefetch_learning_many_matches_sequential_streaming(tmp_path):
             number_of_topics=8, inference_mode="svi", batch_size=64,
             tau0=16.0, kappa=0.7, inner_iterations=15, seed=0,
             gamma_init="ones",
+            # Force the larger-than-HBM regime: under-budget streaming
+            # corpora now take the device-rows path (round-4 verdict
+            # item 5; test below), and this test is about the
+            # host-repack prefetch pipeline.
+            svi_device_rows_budget_mb=0,
         )
         e = StochasticVariationalBayes(cfg)
         e.initialize(s, c.vocab)
-        assert e._device_rows is None  # streaming: host-repack path
+        assert e._device_rows is None  # host-repack path under test
         return e
 
     a = eng()
@@ -475,6 +480,51 @@ def test_prefetch_learning_many_matches_sequential_streaming(tmp_path):
     b = eng()
     pre = b.learning_many(3)
     assert seq == pre
+    assert float(np.asarray(a.state.lam, np.float64).sum()) == float(
+        np.asarray(b.state.lam, np.float64).sum()
+    )
+
+
+def test_streaming_under_budget_takes_device_rows_bitwise(tmp_path):
+    """A disk-backed corpus that fits svi_device_rows_budget_mb now
+    trains on the device-resident rows path (round-4 verdict item 5:
+    the host path re-packed and re-uploaded static rows every epoch,
+    ~3x off the device bound).  The run must be BITWISE identical to
+    the same corpus trained from RAM — identical minibatch schedule,
+    key chain, and gathered layouts."""
+    import os
+
+    import numpy as np
+
+    from pylda_tpu.corpus.streaming import StreamingCorpus
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import StochasticVariationalBayes
+    from pylda_tpu.utils.config import LDAConfig
+
+    c, _, _ = synthetic_corpus(
+        num_docs=200, num_topics=8, num_types=6000, mean_doc_length=40,
+        seed=0,
+    )
+    p = os.path.join(str(tmp_path), "doc.dat")
+    with open(p, "w") as f:
+        for d in c.docs:
+            f.write(" ".join(c.vocab[int(t)] for t in d) + "\n")
+
+    def run(corpus):
+        cfg = LDAConfig(
+            number_of_topics=8, inference_mode="svi", batch_size=64,
+            tau0=16.0, kappa=0.7, inner_iterations=15, seed=0,
+            gamma_init="ones",
+        )
+        e = StochasticVariationalBayes(cfg)
+        e.initialize(corpus, c.vocab)
+        assert e._device_rows is not None, type(corpus).__name__
+        return e, e.learning_many(3)
+
+    s = StreamingCorpus(p, c.vocab)
+    a, ests_stream = run(s)
+    b, ests_ram = run(c)
+    assert ests_stream == ests_ram
     assert float(np.asarray(a.state.lam, np.float64).sum()) == float(
         np.asarray(b.state.lam, np.float64).sum()
     )
