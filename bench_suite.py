@@ -192,7 +192,12 @@ def config3():
                  number_of_samples=5, burn_in_sweeps=3),
             corpus,
         )
-        docs_sec, obj, dt = _throughput(eng, corpus, 4)
+        # 16 fused iterations per timed dispatch: at 4 the ~30 ms
+        # tunnel dispatch tax inflated the per-sweep cost ~2x (round-5
+        # device trace: the gibbs sweep is 7.1 ms busy with span ==
+        # busy, while iters=4 wall said 13.9 ms — and the "r3 -> r4
+        # regression" 307k -> 295k was this tax's run-to-run noise).
+        docs_sec, obj, dt = _throughput(eng, corpus, 16)
         eng.learning_many(40)  # train to a meaningful state before eval
         out[f"{mode}_docs_per_sec"] = round(docs_sec, 1)
         out[f"{mode}_mfu"] = _mfu(eng, dt)

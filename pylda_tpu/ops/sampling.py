@@ -47,6 +47,20 @@ TW_DTYPE = None  # e.g. jnp.bfloat16 halves the per-position factor gather
 # this scatter (same verdict as the round-2 sorted-permutation sstats).
 # Kept as a knob for re-measurement on other toolchains; default off.
 SORTED_COUNTS = False
+# Scalar-binned n_kv rebuild: scatter the SCALAR mask into a flat
+# [V*K] table at combined bins w*K + z instead of scattering [S, K]
+# one-hot rows into V bins.  TPU scatter cost is per-INDEX (~7-10 ns;
+# round-5 scripts/rebuild_variants.py: every layout trick — static
+# sorted permutations, balanced alias-cell MXU matmuls — pays the same
+# per-slot random-access toll on either its gather or its scatter), so
+# same index count but ~100x less data moved: measured 7.4 -> 6.0 ms
+# standalone at the config-3 shape, and it drops the [S, K] one-hot
+# materialisation entirely.  Values are exact small integers in f32 —
+# bit-identical tables.  Gated by the flat-table element budget (the
+# [V*K] f32 temporary; at K=1000, V=100k it is the same 400 MB as n_kv
+# itself).
+SCALAR_COUNTS = True
+SCALAR_COUNTS_MAX_ELEMS = 1 << 27
 
 
 @functools.partial(
@@ -251,6 +265,18 @@ def sample_doc_topics(
 
     def assignment_counts(z):
         """sstats contribution of one kept sweep: [K, V] counts."""
+        if (
+            SCALAR_COUNTS
+            and not SORTED_COUNTS
+            and num_types * K <= SCALAR_COUNTS_MAX_ELEMS
+            and num_types * K < 2**31
+        ):
+            sv = tokens.reshape(-1) * K + z.reshape(-1)
+            flat = jax.ops.segment_sum(
+                token_mask.reshape(-1).astype(dtype), sv,
+                num_segments=num_types * K,
+            )
+            return flat.reshape(num_types, K).T
         if SORTED_COUNTS:
             flat_ids = tokens.reshape(-1)
             perm = jnp.argsort(flat_ids)  # loop-invariant: hoisted

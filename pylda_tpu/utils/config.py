@@ -152,12 +152,17 @@ class LDAConfig:
     # Sufficient-statistics strategy for the ragged (large-vocab) layout:
     # "auto" computes sstats + token score against a corpus-static dense
     # counts matrix (two MXU matmuls; ~4x faster than any TPU scatter
-    # variant — ops/estep.estep_dense_sstats) whenever the corpus is not
-    # process-sharded; "scatter" keeps the row segment-sum inside each
-    # bucket (the only option for multi-host process-local input);
-    # "dense" forces the matmul form wherever the feasibility gates
-    # (budget / in-RAM / single-process) allow, skipping "auto"'s
-    # measured-crossover cost gate on the SVI minibatch path.
+    # variant — ops/estep.estep_dense_sstats) whenever the feasibility
+    # gates pass (budget / single-process); "scatter" keeps the row
+    # segment-sum inside each bucket (the only option for multi-host
+    # process-local input); "dense" is an explicit alias for the matmul
+    # form (same gates — it exists so A/Bs can name the path).  On the
+    # SVI minibatch path dense-when-feasible is measurement-backed
+    # across a 6-cell grid (scripts/svi_sstats_ab.py, round 5, after
+    # the vocab-pre-split fix): dense 1.23-1.81x faster than scatter at
+    # every (K, V, B) in {200,500,1000} x {50k,100k} x {1024,2048} —
+    # the round-4 config-4 regression was the per-minibatch full-corpus
+    # repack, not the matmul form.
     sstats_mode: str = "auto"
     # Per-chunk budget for the dense sstats counts matrix; docs are
     # chunked so each [rows, V] f32 chunk stays under this (bounds the
