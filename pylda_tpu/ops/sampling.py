@@ -61,6 +61,10 @@ SORTED_COUNTS = False
 # itself).
 SCALAR_COUNTS = True
 SCALAR_COUNTS_MAX_ELEMS = 1 << 27
+# Budget for the once-per-call pre-gathered per-slot factor block
+# [LB, B, D, K] (see sample_doc_topics); above it the position steps
+# gather fac_t[w_t] themselves.
+PREGATHER_FACTOR_MAX_BYTES = 512 * 1024 * 1024
 
 
 @functools.partial(
@@ -150,6 +154,25 @@ def sample_doc_topics(
         )  # [K, V]
         if TW_DTYPE is not None:
             tw = tw.astype(TW_DTYPE)
+        fac_t = tw.T  # [V, K]
+    else:
+        fac_t = log_topic_word.T
+    # Pre-gather the per-slot factor rows ONCE per call: the token ids
+    # are loop-invariant across sweeps AND positions, so the per-step
+    # fac_t[w_t] gathers re-pay the per-index random-access toll every
+    # sweep (hybrid freezes the factor for burn_in+samples sweeps: the
+    # round-5 trace measured ~9.5 ms/iteration of per-step gathers vs
+    # ~1.9 ms for one bulk gather).  Gated by bytes (the [LB, B, D, K]
+    # block rides the scan as xs — at K=1000 V=100k shapes it would be
+    # GBs) and on multi-sweep calls: with one sweep per call (gibbs,
+    # whose factor changes every sweep anyway) the bulk block's extra
+    # write+read measured a wash-to-slight-loss.
+    pregather = (
+        burn_in + num_samples > 1
+        and LB * B * D * K * jnp.dtype(fac_t.dtype).itemsize
+        <= PREGATHER_FACTOR_MAX_BYTES
+    )
+    fac_c = fac_t[tok_c] if pregather else None  # [LB, B, D, K]
     if sampler == "cdf":
         # Inclusive prefix-sum as one MXU matmul: jnp.cumsum along the
         # lane (K) axis lowers to a shift cascade with relayouts that
@@ -190,9 +213,13 @@ def sample_doc_topics(
 
             def pos_step(carry, xs):
                 ndk = carry
-                z_t, w_t, m_t, u_t = xs  # each [B, D] (u_t [B, D])
+                if pregather:
+                    z_t, w_t, m_t, u_t, f_t = xs  # f_t [B, D, K]
+                else:
+                    z_t, w_t, m_t, u_t = xs  # each [B, D] (u_t [B, D])
+                    f_t = tw.T[w_t]
                 ndk, _ = _remove(ndk, z_t, m_t)
-                p = (ndk[None] + alpha[None, None, :]) * tw.T[w_t]  # [B,D,K]
+                p = (ndk[None] + alpha[None, None, :]) * f_t  # [B,D,K]
                 # NOTE: each CDF entry is an independent dot product, so
                 # unlike a sequential cumsum, adjacent entries round
                 # independently and c is only monotone up to 1 ulp.  The
@@ -210,8 +237,9 @@ def sample_doc_topics(
                 ndk = _insert(ndk, z_new, m_t)
                 return ndk, z_new
 
+            xs = (_blocks(z), tok_c, mask_c, u)
             ndk, z_cols = jax.lax.scan(
-                pos_step, ndk, (_blocks(z), tok_c, mask_c, u)
+                pos_step, ndk, xs + (fac_c,) if pregather else xs
             )
             return _unblock(z_cols), ndk
 
@@ -228,16 +256,21 @@ def sample_doc_topics(
 
             def pos_step(carry, xs):
                 ndk = carry
-                z_t, w_t, m_t, e_t = xs  # [B, D] x3, [B, D, K]
+                if pregather:
+                    z_t, w_t, m_t, e_t, f_t = xs
+                else:
+                    z_t, w_t, m_t, e_t = xs  # [B, D] x3, [B, D, K]
+                    f_t = tw.T[w_t]
                 ndk, _ = _remove(ndk, z_t, m_t)
-                p = (ndk[None] + alpha[None, None, :]) * tw.T[w_t]  # [B,D,K]
+                p = (ndk[None] + alpha[None, None, :]) * f_t  # [B,D,K]
                 z_new = jnp.argmax(p * e_t, axis=-1).astype(z_t.dtype)
                 z_new = jnp.where(m_t > 0, z_new, z_t)
                 ndk = _insert(ndk, z_new, m_t)
                 return ndk, z_new
 
+            xs = (_blocks(z), tok_c, mask_c, inv_e)
             ndk, z_cols = jax.lax.scan(
-                pos_step, ndk, (_blocks(z), tok_c, mask_c, inv_e)
+                pos_step, ndk, xs + (fac_c,) if pregather else xs
             )
             return _unblock(z_cols), ndk
 
@@ -245,11 +278,14 @@ def sample_doc_topics(
 
         def pos_step(carry, xs):
             ndk = carry
-            z_t, w_t, m_t, k_t = xs  # [B, D] x3, key
+            if pregather:
+                z_t, w_t, m_t, k_t, f_t = xs
+            else:
+                z_t, w_t, m_t, k_t = xs  # [B, D] x3, key
+                f_t = log_topic_word.T[w_t]
             ndk, _ = _remove(ndk, z_t, m_t)
             logits = (
-                jnp.log(ndk[None] + alpha[None, None, :])
-                + log_topic_word.T[w_t]
+                jnp.log(ndk[None] + alpha[None, None, :]) + f_t
             )  # [B, D, K]
             z_new = jax.random.categorical(k_t, logits, axis=-1).astype(
                 z_t.dtype
@@ -258,8 +294,9 @@ def sample_doc_topics(
             ndk = _insert(ndk, z_new, m_t)
             return ndk, z_new
 
+        xs = (_blocks(z), tok_c, mask_c, keys)
         ndk, z_cols = jax.lax.scan(
-            pos_step, ndk, (_blocks(z), tok_c, mask_c, keys)
+            pos_step, ndk, xs + (fac_c,) if pregather else xs
         )
         return _unblock(z_cols), ndk
 
@@ -296,9 +333,23 @@ def sample_doc_topics(
     def sweep_step(carry, s):
         z, ndk, acc_ndk, acc_kv = carry
         z, ndk = one_sweep(z, ndk, jax.random.fold_in(key, s))
-        keep = (s >= burn_in).astype(dtype)
-        acc_ndk = acc_ndk + keep * ndk
-        acc_kv = acc_kv + keep * assignment_counts(z)
+        if burn_in > 0:
+            # Burn-in sweeps are discarded: branch AROUND the [K, V]
+            # count accumulation instead of multiplying it by 0 — the
+            # rebuild scatter is the dominant sweep phase (~3.7 ms at
+            # the config-3 shape), and the round-5 hybrid trace showed
+            # it paid on all burn_in + num_samples sweeps.
+            def _acc(args):
+                z_, ndk_, a_ndk, a_kv = args
+                return a_ndk + ndk_, a_kv + assignment_counts(z_)
+
+            acc_ndk, acc_kv = jax.lax.cond(
+                s >= burn_in, _acc, lambda a: (a[2], a[3]),
+                (z, ndk, acc_ndk, acc_kv),
+            )
+        else:
+            acc_ndk = acc_ndk + ndk
+            acc_kv = acc_kv + assignment_counts(z)
         return (z, ndk, acc_ndk, acc_kv), None
 
     ndk0 = ndk_of(z_init)
