@@ -189,7 +189,13 @@ class StochasticVariationalBayes(VariationalBayes):
         # row sidecar/parse blockwise, and the budget gate above already
         # bounds the materialisation.  Non-empty flags come from the row
         # sums (corpus.docs is absent on the streaming path).
-        rows = np.zeros((D + 1, v_pad), np.float32)
+        #
+        # Pass 1 scans only the max count + non-empty flags so the
+        # storage dtype (and its budget check) are known BEFORE any big
+        # allocation — the old flow staged the full [D+1, v_pad] in f32
+        # first, transiently doubling the bf16 case's RAM and building
+        # ~2x the budget just to discard it when only f32 was feasible
+        # (round-4 advisor finding).
         nonempty_np = np.zeros((D + 1,), np.float32)
         step = max(1, int(64e6 // max(1, 4 * V)))
         maxc = 0.0
@@ -198,7 +204,6 @@ class StochasticVariationalBayes(VariationalBayes):
             c = np.asarray(
                 corpus.to_dense(doc_indices=range(start, stop)).counts
             )
-            rows[start:stop, :V] = c
             nonempty_np[start:stop] = (c.sum(axis=1) > 0).astype(np.float32)
             maxc = max(maxc, float(c.max(initial=0.0)))
         # bfloat16 is exact for integer counts <= 256 (same argument and
@@ -213,14 +218,27 @@ class StochasticVariationalBayes(VariationalBayes):
         # [D+1, 100352] array as a SPLIT of the whole corpus into
         # 25088-wide pieces (a 1.6 GB relayout, 5.1 ms) before gathering
         # each piece; pre-splitting at plan time feeds the same gathers
-        # without the per-minibatch full-corpus repack.
+        # without the per-minibatch full-corpus repack.  Pass 2 fills
+        # each chunk directly in the TARGET dtype (via ml_dtypes for
+        # numpy bf16); peak host RAM = the chunks + one parse block.
         n_vchunks = max(1, -(-(v_pad * itemsize) // (50 * 1024)))
         w = round_up(-(-v_pad // n_vchunks), 1024)
-        vchunks = []
-        for j0 in range(0, v_pad, w):
-            vchunks.append(
-                jnp.asarray(rows[:, j0 : j0 + w], dtype=dtype)
+        np_dtype = np.dtype(dtype)  # ml_dtypes-backed for bf16
+        chunks_np = [
+            np.zeros((D + 1, min(w, v_pad - j0)), np_dtype)
+            for j0 in range(0, v_pad, w)
+        ]
+        for start in range(0, D, step):
+            stop = min(D, start + step)
+            c = np.asarray(
+                corpus.to_dense(doc_indices=range(start, stop)).counts
             )
+            for i, j0 in enumerate(range(0, v_pad, w)):
+                j1 = min(j0 + chunks_np[i].shape[1], V)
+                if j0 < V:
+                    chunks_np[i][start:stop, : j1 - j0] = c[:, j0:j1]
+        vchunks = [jnp.asarray(a) for a in chunks_np]
+        del chunks_np
         nonempty = jnp.asarray(nonempty_np)
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
