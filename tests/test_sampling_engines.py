@@ -295,3 +295,60 @@ def test_point_estimate_perplexity_comparable_across_engines(corpus):
     # The shared metric puts all engines in one band (loose 2x).
     points = [p for _n, p in vals.values()]
     assert max(points) / min(points) < 2.0, vals
+
+
+def test_scalar_counts_rebuild_matches_rows_path(corpus):
+    """The scalar-binned n_kv rebuild (sampling.SCALAR_COUNTS, round 5:
+    scatter the mask into w*K+z bins instead of [S, K] one-hot rows)
+    must produce BIT-IDENTICAL count tables and likelihood trajectories
+    — the values are exact small integers under f32 addition either
+    way."""
+    import jax
+
+    from pylda_tpu.ops import sampling
+
+    def run():
+        eng = MonteCarlo(_cfg("gibbs"))
+        eng.initialize(corpus)
+        lls = eng.learning_many(3)
+        return np.asarray(eng._n_kv), lls
+
+    assert sampling.SCALAR_COUNTS  # shipping default
+    nkv_a, lls_a = run()
+    try:
+        sampling.SCALAR_COUNTS = False
+        jax.clear_caches()  # module-global knob: retrace required
+        nkv_b, lls_b = run()
+    finally:
+        sampling.SCALAR_COUNTS = True
+        jax.clear_caches()
+    np.testing.assert_array_equal(nkv_a, nkv_b)
+    assert lls_a == lls_b
+
+
+def test_factor_pregather_matches_per_step_gather(corpus):
+    """The once-per-call factor pre-gather (round 5, multi-sweep calls
+    only) must leave the hybrid trajectory identical to per-step
+    gathers: the gathered rows are the same values, only WHEN they are
+    fetched changes."""
+    import jax
+
+    from pylda_tpu.ops import sampling
+
+    def run():
+        eng = Hybrid(_cfg("hybrid", number_of_samples=3, burn_in_sweeps=2))
+        eng.initialize(corpus)
+        ests = eng.learning_many(2)
+        return np.asarray(eng.state.lam), ests
+
+    lam_a, ests_a = run()
+    saved = sampling.PREGATHER_FACTOR_MAX_BYTES
+    try:
+        sampling.PREGATHER_FACTOR_MAX_BYTES = 0  # force per-step gathers
+        jax.clear_caches()
+        lam_b, ests_b = run()
+    finally:
+        sampling.PREGATHER_FACTOR_MAX_BYTES = saved
+        jax.clear_caches()
+    np.testing.assert_allclose(lam_a, lam_b, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(ests_a, ests_b, rtol=1e-6)
