@@ -173,6 +173,39 @@ def estep_dense(
     return gamma, sstats, token_score, i
 
 
+# Single-pass-over-B sweeps for the kdt (small-K) layout: the gamma
+# update is elementwise-independent in t, so phinorm and the update can
+# be computed blockwise over T with each B block read ONCE per sweep
+# instead of twice — the kdt sweep is HBM-bound streaming the bf16
+# factor block (config-2 trace: the phinorm fusion alone ran at ~90% of
+# HBM bandwidth).  0 disables; T must divide evenly or the plain
+# two-pass form runs.  Standalone microbench: 0.86 -> 0.46 ms/sweep at
+# the config-2 bucket shape (TB=400); gate kept measurable in-engine
+# via scripts.  Only ever active on accelerators (CPU keeps dtk).
+SWEEP_T_BLOCK = 400
+
+
+def _pick_t_block(T: int, target: int = 0) -> int:
+    """Divisor of T closest to the block target within [0.6x, 1.5x] of
+    it (0 = no blocking: T too small or no divisor in band).  The band
+    is measured: at the config-2 bucket shapes TB=400 wins (+17%
+    in-engine), TB=200 is neutral and TB=160 loses (scan-step overhead
+    dominates thin blocks), so only near-target divisors are used.
+    Per-bucket planner widths are 16-aligned (800 -> 400, 832 -> 416,
+    880 -> 440)."""
+    target = target or SWEEP_T_BLOCK
+    if target <= 0 or T <= target:
+        return 0
+    lo, hi = int(0.6 * target), int(1.5 * target)
+    best = 0
+    for tb in range(lo, min(hi, T - 1) + 1):
+        if T % tb == 0 and (
+            best == 0 or abs(tb - target) < abs(best - target)
+        ):
+            best = tb
+    return best
+
+
 def _factor_layout(num_topics: int) -> str:
     """Per-slot factor block layout for the ragged sweeps.
 
@@ -278,8 +311,41 @@ def _ragged_sweep_loop(
             i < inner_iterations, jnp.logical_not(exitable.all())
         )
 
-    def body(carry):
-        i, gamma, exp_etheta, best, age, done, _exitable = carry
+    T = ids.shape[1]
+    tb = _pick_t_block(T) if layout == "kdt" else 0
+    blocked = tb > 0
+    if blocked:
+        nb = T // tb
+        K = gamma_init.shape[1]
+        rows_ = gamma_init.shape[0]
+        # [nb, K, D, TB] blocks of the kdt factor + matching counts.
+        B_blk = B.reshape(K, rows_, nb, tb).transpose(2, 0, 1, 3)
+        c_blk = cnts.reshape(rows_, nb, tb).transpose(1, 0, 2)
+
+    def _sweep_update(exp_etheta):
+        """One fixed-point contraction pair; returns the gamma update
+        term (sum_t ratio * B)."""
+        if blocked:
+            etc = exp_etheta.astype(cdt)
+
+            def blk(acc, xs):
+                Bx, cx = xs
+                phinorm = (
+                    jnp.einsum(
+                        "dk,kdt->dt", etc, Bx,
+                        preferred_element_type=acc_dtype,
+                    )
+                    + eps
+                )
+                return acc + jnp.einsum(
+                    "dt,kdt->dk", (cx / phinorm).astype(cdt), Bx,
+                    preferred_element_type=acc_dtype,
+                ), None
+
+            upd, _ = jax.lax.scan(
+                blk, jnp.zeros_like(exp_etheta), (B_blk, c_blk)
+            )
+            return upd
         phinorm = (
             jnp.einsum(
                 e_phinorm, exp_etheta.astype(cdt), B,
@@ -287,9 +353,15 @@ def _ragged_sweep_loop(
             )
             + eps
         )
-        gamma_prop = alpha[None, :] + exp_etheta * jnp.einsum(
+        return jnp.einsum(
             e_update, (cnts / phinorm).astype(cdt), B,
             preferred_element_type=acc_dtype,
+        )
+
+    def body(carry):
+        i, gamma, exp_etheta, best, age, done, _exitable = carry
+        gamma_prop = alpha[None, :] + exp_etheta * _sweep_update(
+            exp_etheta
         )
         gamma_new = (
             jnp.where(done[:, None], gamma, gamma_prop)
