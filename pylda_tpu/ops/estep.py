@@ -183,6 +183,13 @@ def estep_dense(
 # the config-2 bucket shape (TB=400); gate kept measurable in-engine
 # via scripts.  Only ever active on accelerators (CPU keeps dtk).
 SWEEP_T_BLOCK = 400
+# Extend blocking to the dtk layout (K >= 64).  Default OFF and
+# MEASURED off: at a long-doc K=100 shape (D=1536, mean len 900) the
+# blocked dtk sweep is 3.2x SLOWER (103.5k -> 32.7k docs/s) — dtk's B
+# block is VMEM-resident across both contractions and the per-block
+# scan destroys that residency.  The knob exists so the A/B stays
+# reproducible on other toolchains.
+SWEEP_T_BLOCK_DTK = False
 
 
 def _pick_t_block(T: int, target: int = 0) -> int:
@@ -312,15 +319,22 @@ def _ragged_sweep_loop(
         )
 
     T = ids.shape[1]
-    tb = _pick_t_block(T) if layout == "kdt" else 0
+    tb = (
+        _pick_t_block(T)
+        if (layout == "kdt" or SWEEP_T_BLOCK_DTK) else 0
+    )
     blocked = tb > 0
     if blocked:
         nb = T // tb
         K = gamma_init.shape[1]
         rows_ = gamma_init.shape[0]
-        # [nb, K, D, TB] blocks of the kdt factor + matching counts.
-        B_blk = B.reshape(K, rows_, nb, tb).transpose(2, 0, 1, 3)
+        if layout == "kdt":
+            # [nb, K, D, TB] blocks of the kdt factor + matching counts.
+            B_blk = B.reshape(K, rows_, nb, tb).transpose(2, 0, 1, 3)
+        else:  # dtk: [nb, D, TB, K]
+            B_blk = B.reshape(rows_, nb, tb, -1).transpose(1, 0, 2, 3)
         c_blk = cnts.reshape(rows_, nb, tb).transpose(1, 0, 2)
+        e_phi_b, e_upd_b = _EINSUMS[layout]
 
     def _sweep_update(exp_etheta):
         """One fixed-point contraction pair; returns the gamma update
@@ -332,13 +346,13 @@ def _ragged_sweep_loop(
                 Bx, cx = xs
                 phinorm = (
                     jnp.einsum(
-                        "dk,kdt->dt", etc, Bx,
+                        e_phi_b, etc, Bx,
                         preferred_element_type=acc_dtype,
                     )
                     + eps
                 )
                 return acc + jnp.einsum(
-                    "dt,kdt->dk", (cx / phinorm).astype(cdt), Bx,
+                    e_upd_b, (cx / phinorm).astype(cdt), Bx,
                     preferred_element_type=acc_dtype,
                 ), None
 
