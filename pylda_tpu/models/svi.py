@@ -313,7 +313,19 @@ class StochasticVariationalBayes(VariationalBayes):
         if plan is not None and doc_sel is not None and mb_rows is not None:
             rows_vchunks, nonempty = mb_rows
             D = plan["num_docs"]
+            b_cap = doc_sel.shape[0]
             safe = jnp.where(doc_sel >= 0, doc_sel, D)
+            # Everything downstream runs in MINIBATCH-LOCAL doc
+            # positions (0..b_cap): the round-5 config-4 trace showed
+            # the gamma assembly + theta/elog reductions running at the
+            # full corpus [D, K] per minibatch (~13% of the epoch for a
+            # 1/16th-corpus batch).  ``inv`` maps global doc id ->
+            # position in doc_sel (absent docs -> b_cap = overflow).
+            inv = (
+                jnp.full((D + 1,), b_cap, jnp.int32)
+                .at[safe]
+                .set(jnp.arange(b_cap, dtype=jnp.int32))
+            )
             chunks = []
             s0 = 0
             for c in plan["chunk_sizes"]:
@@ -331,27 +343,28 @@ class StochasticVariationalBayes(VariationalBayes):
                             else jnp.concatenate(gathered, axis=1)
                         ),
                         mask=(ds >= 0).astype(lam.dtype),
-                        doc_ids=ds,
+                        # Chunk rows ARE sel positions s0..s0+c.
+                        doc_ids=jnp.where(
+                            ds >= 0,
+                            jnp.arange(s0, s0 + c, dtype=jnp.int32),
+                            -1,
+                        ),
                     )
                 )
                 s0 += c
             # Selected docs only — and, like the batch-VB plan, empty
             # documents stay outside the theta/elog sums (the row paths
             # never emit rows for them).
-            docs_mask = (
-                jnp.zeros((D + 1,), lam.dtype)
-                .at[safe]
-                .set(nonempty[safe])[:D]
-            )
+            docs_mask = (doc_sel >= 0).astype(lam.dtype) * nonempty[safe]
             gammas, sstats, token_score, theta_score, elog_sum = (
                 self._run_estep(
                     batches, lam, alpha, key,
-                    dense_chunks=chunks, docs_mask=docs_mask, num_docs=D,
+                    dense_chunks=chunks, docs_mask=docs_mask,
+                    num_docs=b_cap, doc_id_map=inv,
                 )
             )
-            # Ship the minibatch's doc gammas (small), not the [D, K]
-            # scratch array; padding rows carry doc id -1 downstream.
-            gammas = [gammas[0][jnp.where(doc_sel >= 0, doc_sel, 0)]]
+            # gammas[0] is already [b_cap, K] in doc_sel order; padding
+            # rows carry doc id -1 downstream.
         else:
             gammas, sstats, token_score, theta_score, elog_sum = (
                 self._run_estep(batches, lam, alpha, key)

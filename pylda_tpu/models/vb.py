@@ -311,7 +311,7 @@ class VariationalBayes(Inferencer):
 
     def _run_estep_hybrid(
         self, batches, lam, alpha, key, dense_chunks, docs_mask,
-        num_docs: int, gamma0s=None,
+        num_docs: int, gamma0s=None, doc_id_map=None,
     ):
         """Ragged sweeps + scatter-free dense sufficient statistics.
 
@@ -342,7 +342,20 @@ class VariationalBayes(Inferencer):
                 )
             g = self._ragged_gamma_fixed_point(b, gamma0, eeb, alpha)
             rows.append(g)
-            row_ids.append(jnp.asarray(b.doc_ids))
+            dids = jnp.asarray(b.doc_ids)
+            if doc_id_map is not None:
+                # SVI minibatch path: remap GLOBAL doc ids to positions
+                # within the minibatch's doc selection so the gamma
+                # assembly and theta/elog reductions below run at
+                # [b_cap, K], not [corpus D, K] — the round-5 config-4
+                # trace showed the full-D reductions costing ~13% of
+                # the epoch for a 1/16th-corpus minibatch.
+                dids = jnp.where(
+                    dids >= 0,
+                    doc_id_map[jnp.clip(dids, 0, doc_id_map.shape[0] - 1)],
+                    -1,
+                )
+            row_ids.append(dids)
         gamma_docs = _assemble_gamma_device(
             jnp.concatenate(rows, axis=0),
             jnp.concatenate(row_ids, axis=0),
@@ -418,7 +431,7 @@ class VariationalBayes(Inferencer):
     def _run_estep(
         self, batches: List[layouts.VBBatch], lam, alpha, key,
         dense_chunks=None, docs_mask=None, num_docs: Optional[int] = None,
-        gamma0s=None,
+        gamma0s=None, doc_id_map=None,
     ):
         """Run the E-step over every batch; returns device accumulators.
 
@@ -437,7 +450,7 @@ class VariationalBayes(Inferencer):
                 batches, lam, alpha, key, dense_chunks, docs_mask,
                 num_docs if num_docs is not None
                 else self._sstats_plan["num_docs"],
-                gamma0s=gamma0s,
+                gamma0s=gamma0s, doc_id_map=doc_id_map,
             )
         sstats = None
         token_score = jnp.zeros((), dtype=self._dtype)
