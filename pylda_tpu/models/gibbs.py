@@ -34,6 +34,7 @@ import numpy as np
 from jax.scipy.special import gammaln
 
 from pylda_tpu.corpus.corpus import Corpus, SequenceBucket
+from pylda_tpu.ops.dirichlet import gammaln_fast
 from pylda_tpu.models.base import Inferencer, LDAState
 from pylda_tpu.ops.sampling import (
     random_assignments,
@@ -51,12 +52,17 @@ def _log_phi_hat(n_kv, beta):
 
 def _topic_side_ll(n_kv, beta):
     """K[logG(sum b) - sum logG(b)] + sum_k[sum_v logG(n_kv+b) -
-    logG(n_k + sum b)]  (SURVEY.md section 8.2)."""
+    logG(n_k + sum b)]  (SURVEY.md section 8.2).
+
+    The [K, V] surface runs at the fast Stirling lgamma (<= ~3e-6
+    absolute/element, ~1e-6 relative on the summed LL; f64 exact —
+    ops/dirichlet.gammaln_fast); this is computed EVERY sweep for the
+    per-iteration likelihood print."""
     K = n_kv.shape[0]
     n_k = n_kv.sum(axis=1)
     s = K * (gammaln(beta.sum()) - gammaln(beta).sum())
-    s += gammaln(n_kv + beta[None, :]).sum()
-    s -= gammaln(n_k + beta.sum()).sum()
+    s += gammaln_fast(n_kv + beta[None, :]).sum()
+    s -= gammaln_fast(n_k + beta.sum()).sum()
     return s
 
 
@@ -64,8 +70,8 @@ def _doc_side_ll(ndk, mask, alpha):
     """D[logG(sum a) - sum logG(a)] + sum_d[...] with padded rows inert."""
     n_d = ndk.sum(axis=1)
     per_doc = (
-        gammaln(ndk + alpha[None, :]).sum(axis=1)
-        - gammaln(n_d + alpha.sum())
+        gammaln_fast(ndk + alpha[None, :]).sum(axis=1)
+        - gammaln_fast(n_d + alpha.sum())
         + gammaln(alpha.sum())
         - gammaln(alpha).sum()
     )
