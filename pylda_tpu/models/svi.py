@@ -36,9 +36,10 @@ fixed geometry): the corpus's ragged rows are uploaded ONCE and each
 epoch ships only [n_batches, capacity] row-index arrays — the scan
 body gathers its minibatch buckets on device.  This replaces the
 per-epoch host repack + full-corpus re-upload with ~100 KB of indices
-(bitwise-identical results; tests/test_svi.py pins it).  Auto-disabled
-over ``svi_device_rows_budget_mb`` (the larger-than-HBM streaming
-regime), for process-local corpora, and for disk-backed streaming.
+(bitwise-identical results; tests/test_svi.py pins it).  Disk-backed
+StreamingCorpus input qualifies too (rows materialise once at init via
+the row sidecar).  Auto-disabled over ``svi_device_rows_budget_mb``
+(the larger-than-HBM streaming regime) and for process-local corpora.
 """
 
 from __future__ import annotations
@@ -307,7 +308,8 @@ class StochasticVariationalBayes(VariationalBayes):
         and sstats/token score come from gathered dense count rows via
         ``estep_dense_sstats`` — numerically the same reduction as the
         row scatter up to float summation order.  ``mb_rows`` is the
-        plan's (rows, nonempty) pair, shipped as jit arguments — see
+        plan's (row vocab-chunk tuple, nonempty) pair, shipped as jit
+        arguments — see
         ``_mb_rows_args`` for why they must not be closed over."""
         plan = self._mb_sstats
         if plan is not None and doc_sel is not None and mb_rows is not None:
