@@ -196,17 +196,33 @@ class StochasticVariationalBayes(VariationalBayes):
         # allocation — the old flow staged the full [D+1, v_pad] in f32
         # first, transiently doubling the bf16 case's RAM and building
         # ~2x the budget just to discard it when only f32 was feasible
-        # (round-4 advisor finding).
+        # (round-4 advisor finding).  For in-RAM corpora this reads the
+        # cached per-doc unique counts in O(tokens) with no
+        # densification; the blockwise to_dense fallback covers
+        # disk-backed streaming input (one extra sidecar pass at init).
         nonempty_np = np.zeros((D + 1,), np.float32)
         step = max(1, int(64e6 // max(1, 4 * V)))
         maxc = 0.0
-        for start in range(0, D, step):
-            stop = min(D, start + step)
-            c = np.asarray(
-                corpus.to_dense(doc_indices=range(start, stop)).counts
-            )
-            nonempty_np[start:stop] = (c.sum(axis=1) > 0).astype(np.float32)
-            maxc = max(maxc, float(c.max(initial=0.0)))
+        if getattr(corpus, "docs", None) is not None and hasattr(
+            corpus, "doc_unique"
+        ):
+            for d in range(D):
+                _ids, cts = corpus.doc_unique(d)
+                if cts.size:
+                    nonempty_np[d] = 1.0
+                    m = float(cts.max())
+                    if m > maxc:
+                        maxc = m
+        else:
+            for start in range(0, D, step):
+                stop = min(D, start + step)
+                c = np.asarray(
+                    corpus.to_dense(doc_indices=range(start, stop)).counts
+                )
+                nonempty_np[start:stop] = (
+                    c.sum(axis=1) > 0
+                ).astype(np.float32)
+                maxc = max(maxc, float(c.max(initial=0.0)))
         # bfloat16 is exact for integer counts <= 256 (same argument and
         # gate as the batch-VB chunks); larger counts keep float32.
         dtype = jnp.bfloat16 if maxc <= 256.0 else jnp.float32
@@ -323,10 +339,19 @@ class StochasticVariationalBayes(VariationalBayes):
             # full corpus [D, K] per minibatch (~13% of the epoch for a
             # 1/16th-corpus batch).  ``inv`` maps global doc id ->
             # position in doc_sel (absent docs -> b_cap = overflow).
+            # Padding slots all target index D: write the b_cap overflow
+            # sentinel there (a position value would silently alias an
+            # absent doc onto a pad slot's gamma row).
             inv = (
                 jnp.full((D + 1,), b_cap, jnp.int32)
                 .at[safe]
-                .set(jnp.arange(b_cap, dtype=jnp.int32))
+                .set(
+                    jnp.where(
+                        doc_sel >= 0,
+                        jnp.arange(b_cap, dtype=jnp.int32),
+                        b_cap,
+                    )
+                )
             )
             chunks = []
             s0 = 0

@@ -334,7 +334,6 @@ def _ragged_sweep_loop(
         else:  # dtk: [nb, D, TB, K]
             B_blk = B.reshape(rows_, nb, tb, -1).transpose(1, 0, 2, 3)
         c_blk = cnts.reshape(rows_, nb, tb).transpose(1, 0, 2)
-        e_phi_b, e_upd_b = _EINSUMS[layout]
 
     def _sweep_update(exp_etheta):
         """One fixed-point contraction pair; returns the gamma update
@@ -346,13 +345,13 @@ def _ragged_sweep_loop(
                 Bx, cx = xs
                 phinorm = (
                     jnp.einsum(
-                        e_phi_b, etc, Bx,
+                        e_phinorm, etc, Bx,
                         preferred_element_type=acc_dtype,
                     )
                     + eps
                 )
                 return acc + jnp.einsum(
-                    e_upd_b, (cx / phinorm).astype(cdt), Bx,
+                    e_update, (cx / phinorm).astype(cdt), Bx,
                     preferred_element_type=acc_dtype,
                 ), None
 

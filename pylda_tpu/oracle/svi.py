@@ -30,12 +30,16 @@ class OracleSVI(OracleVB):
         num_topics: int,
         alpha,
         eta,
-        batch_size: int,
+        seed: int = 0,
+        *,
+        batch_size: int = 64,
         tau0: float = 64.0,
         kappa: float = 0.7,
-        seed: int = 0,
         **kw,
     ):
+        # seed keeps its historical 5th positional slot; the SVI knobs
+        # are keyword-only so positional calls cannot silently bind a
+        # seed as a batch size.
         super().__init__(corpus, num_topics, alpha, eta, seed=seed, **kw)
         self.batch_size = int(batch_size)
         self.tau0 = float(tau0)

@@ -312,7 +312,7 @@ def gibbs_learning_phase_bounds(
 
 
 def svi_epoch_phase_bounds(
-    eng, peaks: Optional[ChipPeaks] = None
+    eng, peaks: Optional[ChipPeaks] = None, batch_lists=None
 ) -> Dict[str, float]:
     """Per-phase roofline bounds (ms) for ONE SVI epoch beyond the gamma
     sweeps (which ``_svi_epoch_bound_ms`` prices separately): the
@@ -327,11 +327,15 @@ def svi_epoch_phase_bounds(
     peaks = peaks or ChipPeaks()
     cfg = eng._config
     K, V = cfg.number_of_topics, len(eng._vocab)
-    t_save = eng._t
-    try:
-        batch_lists = eng._epoch_batches(0)[0]
-    finally:
-        eng._t = t_save
+    if batch_lists is None:
+        # One host-side epoch pack is ~0.25 s at the suite shapes —
+        # callers that already built it (``_svi_epoch_bound_ms``) pass
+        # it in rather than paying twice.
+        t_save = eng._t
+        try:
+            batch_lists = eng._epoch_batches(0)[0]
+        finally:
+            eng._t = t_save
     n_mb = len(batch_lists)
     out: Dict[str, float] = {}
 
@@ -467,7 +471,9 @@ def _svi_epoch_bound_ms(eng, peaks: ChipPeaks) -> float:
             total += _batch_sweep_bound_ms(b, cfg, peaks) * sweeps_by_shape[
                 shape
             ]
-    total += sum(svi_epoch_phase_bounds(eng, peaks).values())
+    total += sum(
+        svi_epoch_phase_bounds(eng, peaks, batch_lists=batch_lists).values()
+    )
     return total
 
 
