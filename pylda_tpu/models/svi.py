@@ -1278,6 +1278,13 @@ class StochasticVariationalBayes(VariationalBayes):
         cfg = self._config
         counter0 = self._counter
         out = []
+
+        # NOTE (round 5, measured): device_put-ing epoch e+1's arrays
+        # from the worker to overlap the upload made the host-repack
+        # wiki-shape epoch 9x SLOWER through this tunneled backend
+        # (0.51 -> 4.55 s — per-array remote transfers serialise
+        # against the running dispatch).  The worker overlaps only the
+        # host-side pack; the upload rides the jit dispatch.
         with ThreadPoolExecutor(max_workers=1) as ex:
             fut = ex.submit(
                 self._epoch_batches, counter0 * 100003 + cfg.seed
