@@ -181,13 +181,67 @@ class MonteCarlo(Inferencer):
         # needed) — stacking it as a scan output would hold an
         # O(n * D * K) history in HBM for nothing.
         ndk0 = tuple(jnp.zeros_like(ndk) for ndk in self._ndk)
+        cfg = self._config
+        R = cfg.gibbs_rebuild_interval
+        if R <= 1 or self._mesh is not None:
+            # Exact per-sweep table synchronisation (the reference's
+            # AD-LDA granularity); also the only mode under a mesh
+            # (collectives inside the rebuild conditional are not
+            # exercised by the sharded tests).
+            def body(carry, i):
+                n_kv, zs, _ndk = carry
+                n_kv_new, z_new, ndk_new, ll = self._sweep(
+                    alpha, eta, jax.random.fold_in(key, i), n_kv, zs,
+                    buckets,
+                )
+                return (n_kv_new, z_new, ndk_new), ll
+
+            (n_kv, zs, ndk_last), lls = jax.lax.scan(
+                body, (n_kv, tuple(zs), ndk0), jnp.arange(n)
+            )
+            return n_kv, zs, ndk_last, lls
+
+        # R > 1: sample every sweep against the carried factor, rebuild
+        # the [K, V] table (62% of the sweep, per-index-bound) only on
+        # every R-th sweep and on the final one — the same AD-LDA
+        # approximation extended in time instead of space.  Tables are
+        # exact at the returned state; the per-sweep topic-side LL
+        # between rebuilds is reported at the latest table.
+        from pylda_tpu.ops.sampling import count_table
+
+        K, V = cfg.number_of_topics, len(self._vocab)
 
         def body(carry, i):
-            n_kv, zs, _ndk = carry
-            n_kv_new, z_new, ndk_new, ll = self._sweep(
-                alpha, eta, jax.random.fold_in(key, i), n_kv, zs, buckets
-            )
-            return (n_kv_new, z_new, ndk_new), ll
+            n_kv, zs_c, _ndk = carry
+            sub = jax.random.fold_in(key, i)
+            log_tw = _log_phi_hat(n_kv, eta)
+            z_out, ndk_out = [], []
+            for j, (b, z) in enumerate(zip(buckets, zs_c)):
+                _g, _cnt, z_new, ndk = sample_doc_topics(
+                    b.tokens, b.token_mask, log_tw, alpha, z,
+                    jax.random.fold_in(sub, j),
+                    num_topics=K, num_types=V, burn_in=0, num_samples=1,
+                    sampler=cfg.resolved_topic_sampler(),
+                    block_positions=cfg.sampler_block_positions,
+                    accumulate_counts=False,
+                )
+                z_out.append(z_new)
+                ndk_out.append(ndk)
+
+            def rebuild(_):
+                table = jnp.zeros_like(n_kv)
+                for b, z_new in zip(buckets, z_out):
+                    table = table + count_table(
+                        b.tokens, b.token_mask, z_new, K, V, self._dtype
+                    )
+                return table
+
+            do = jnp.logical_or((i + 1) % R == 0, i == n - 1)
+            n_kv_new = jax.lax.cond(do, rebuild, lambda _: n_kv, None)
+            ll = _topic_side_ll(n_kv_new, eta)
+            for b, ndk in zip(buckets, ndk_out):
+                ll = ll + _doc_side_ll(ndk, b.mask, alpha)
+            return (n_kv_new, tuple(z_out), tuple(ndk_out)), ll
 
         (n_kv, zs, ndk_last), lls = jax.lax.scan(
             body, (n_kv, tuple(zs), ndk0), jnp.arange(n)

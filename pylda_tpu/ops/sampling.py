@@ -67,11 +67,47 @@ SCALAR_COUNTS_MAX_ELEMS = 1 << 27
 PREGATHER_FACTOR_MAX_BYTES = 512 * 1024 * 1024
 
 
+def count_table(tokens, token_mask, z, num_topics, num_types, dtype):
+    """[K, V] assignment-count table for one bucket (the n_kv rebuild),
+    honouring the SCALAR_COUNTS / SORTED_COUNTS variant knobs.  Exposed
+    at module level so callers (``MonteCarlo._sweep_scan``'s
+    every-R-sweeps rebuild) can invoke it INSIDE a ``lax.cond`` branch
+    — computed unconditionally it could not be dead-code-eliminated on
+    the skipped sweeps."""
+    K, V = num_topics, num_types
+    if (
+        SCALAR_COUNTS
+        and not SORTED_COUNTS
+        and V * K <= SCALAR_COUNTS_MAX_ELEMS
+        and V * K < 2**31
+    ):
+        sv = tokens.reshape(-1) * K + z.reshape(-1)
+        flat = jax.ops.segment_sum(
+            token_mask.reshape(-1).astype(dtype), sv, num_segments=V * K
+        )
+        return flat.reshape(V, K).T
+    if SORTED_COUNTS:
+        flat_ids = tokens.reshape(-1)
+        perm = jnp.argsort(flat_ids)  # loop-invariant: hoisted
+        zs = z.reshape(-1)[perm]
+        ms = token_mask.reshape(-1)[perm]
+        hot = jax.nn.one_hot(zs, K, dtype=dtype) * ms[:, None]
+        return jax.ops.segment_sum(
+            hot, flat_ids[perm], num_segments=V,
+            indices_are_sorted=True,
+        ).T
+    hot = jax.nn.one_hot(z, K, dtype=dtype) * token_mask[:, :, None]
+    flat = hot.reshape(-1, K)
+    return jax.ops.segment_sum(
+        flat, tokens.reshape(-1), num_segments=V
+    ).T
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_topics", "num_types", "burn_in", "num_samples", "sampler",
-        "block_positions",
+        "block_positions", "accumulate_counts",
     ),
 )
 def sample_doc_topics(
@@ -87,6 +123,7 @@ def sample_doc_topics(
     num_samples: int = 10,
     sampler: str = "cdf",
     block_positions: int = 1,
+    accumulate_counts: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run burn_in + num_samples sweeps; average stats over kept sweeps.
 
@@ -302,33 +339,7 @@ def sample_doc_topics(
 
     def assignment_counts(z):
         """sstats contribution of one kept sweep: [K, V] counts."""
-        if (
-            SCALAR_COUNTS
-            and not SORTED_COUNTS
-            and num_types * K <= SCALAR_COUNTS_MAX_ELEMS
-            and num_types * K < 2**31
-        ):
-            sv = tokens.reshape(-1) * K + z.reshape(-1)
-            flat = jax.ops.segment_sum(
-                token_mask.reshape(-1).astype(dtype), sv,
-                num_segments=num_types * K,
-            )
-            return flat.reshape(num_types, K).T
-        if SORTED_COUNTS:
-            flat_ids = tokens.reshape(-1)
-            perm = jnp.argsort(flat_ids)  # loop-invariant: hoisted
-            zs = z.reshape(-1)[perm]
-            ms = token_mask.reshape(-1)[perm]
-            hot = jax.nn.one_hot(zs, K, dtype=dtype) * ms[:, None]
-            return jax.ops.segment_sum(
-                hot, flat_ids[perm], num_segments=num_types,
-                indices_are_sorted=True,
-            ).T
-        hot = jax.nn.one_hot(z, K, dtype=dtype) * token_mask[:, :, None]
-        flat = hot.reshape(D * L, K)
-        return jax.ops.segment_sum(
-            flat, tokens.reshape(-1), num_segments=num_types
-        ).T
+        return count_table(tokens, token_mask, z, K, num_types, dtype)
 
     def sweep_step(carry, s):
         z, ndk, acc_ndk, acc_kv = carry
@@ -347,9 +358,13 @@ def sample_doc_topics(
                 s >= burn_in, _acc, lambda a: (a[2], a[3]),
                 (z, ndk, acc_ndk, acc_kv),
             )
-        else:
+        elif accumulate_counts:
             acc_ndk = acc_ndk + ndk
             acc_kv = acc_kv + assignment_counts(z)
+        # accumulate_counts=False (gibbs_rebuild_interval > 1): the
+        # caller rebuilds the [K, V] table itself every R sweeps via
+        # ``count_table``; the zero acc_kv is returned untouched and
+        # dead-code-eliminated in the caller's trace.
         return (z, ndk, acc_ndk, acc_kv), None
 
     ndk0 = ndk_of(z_init)

@@ -107,6 +107,20 @@ class LDAConfig:
     # band (9285 vs 9326 after 40 sweeps — nominally better).
     sampler_block_positions: int = 8
 
+    # Gibbs only: rebuild the [K, V] topic-word count table (and its
+    # sampling factor) every R fused sweeps instead of every sweep.
+    # R = 1 (default) is the exact per-sweep AD-LDA synchronisation the
+    # reference path models.  R > 1 extends the same approximation in
+    # TIME (the factor is R-1 sweeps stale, exactly as AD-LDA's
+    # per-worker factor is one sweep stale in SPACE); tables are exact
+    # again at every rebuild boundary, at the end of every
+    # learning_many chunk, and for every likelihood/hyperopt/export
+    # surface.  The rebuild scatter is per-index-bound at ~62% of the
+    # sweep (round-5 trace), so R=2 is ~1.4x throughput; measured
+    # quality at config 3: see BENCH_SUITE round 5.  Single-process
+    # scan path only (ignored under a mesh and by learning()).
+    gibbs_rebuild_interval: int = 1
+
     # Hybrid only: carry each document's topic assignments z across
     # training iterations (warm chains) instead of re-drawing random z
     # every iteration.  Measured at matched wall-clock on the config-3
@@ -301,6 +315,8 @@ class LDAConfig:
             raise ValueError(f"unknown topic_sampler: {self.topic_sampler}")
         if self.sampler_block_positions < 1:
             raise ValueError("sampler_block_positions must be >= 1")
+        if self.gibbs_rebuild_interval < 1:
+            raise ValueError("gibbs_rebuild_interval must be >= 1")
         if self.estep_stall_patience < 0:
             raise ValueError("estep_stall_patience must be >= 0")
         if self.bucket_policy not in ("auto", "fixed"):

@@ -352,3 +352,42 @@ def test_factor_pregather_matches_per_step_gather(corpus):
         jax.clear_caches()
     np.testing.assert_allclose(lam_a, lam_b, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(ests_a, ests_b, rtol=1e-6)
+
+
+def test_gibbs_rebuild_interval_conserves_tables(corpus):
+    """gibbs_rebuild_interval=R > 1 rebuilds the [K, V] table every R
+    fused sweeps (AD-LDA staleness extended in time); the returned
+    state's tables must still EXACTLY match the assignments, and the
+    chain must keep improving."""
+    import jax.numpy as jnp
+
+    eng = MonteCarlo(_cfg("gibbs", gibbs_rebuild_interval=3))
+    eng.initialize(corpus)
+    lls = eng.learning_many(60)  # crosses rebuild boundaries + final
+    assert all(np.isfinite(v) for v in lls)
+    # Exact conservation at the returned state: n_kv from z.
+    from pylda_tpu.ops.sampling import count_table
+
+    K, V = 5, corpus.num_types
+    expect = np.zeros((K, V), np.float32)
+    for b, z in zip(eng._buckets, eng._z):
+        expect += np.asarray(
+            count_table(
+                jnp.asarray(b.tokens), jnp.asarray(b.token_mask), z, K, V,
+                jnp.float32,
+            )
+        )
+    np.testing.assert_array_equal(np.asarray(eng._n_kv), expect)
+    # Token conservation.
+    assert float(np.asarray(eng._n_kv).sum()) == corpus.num_tokens
+    # Improves from random init, and reaches the SAME stationary
+    # plateau as the exact per-sweep-sync chain (staleness slows early
+    # MIXING — measured ~19% LL gap at sweep 7 from random init — but
+    # not where the chain converges: <0.2% at sweep 60).
+    eng2 = MonteCarlo(_cfg("gibbs", gibbs_rebuild_interval=1))
+    eng2.initialize(corpus)
+    lls2 = eng2.learning_many(60)
+    assert lls[-1] > lls[0]
+    assert abs(lls[-1] - lls2[-1]) / abs(lls2[-1]) < 0.005, (
+        lls[-1], lls2[-1],
+    )
