@@ -105,12 +105,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(Gibbs/hybrid): 1 = exact sequential; B > 1 = "
                         "leave-block-out approximation, large sweep "
                         "speedups on TPU (default: the config default)")
-    p.add_argument("--gibbs_rebuild_interval", type=int, default=1,
+    p.add_argument("--gibbs_rebuild_interval", type=int, default=None,
                    help="Gibbs: rebuild the [K,V] count table every R "
                         "fused sweeps (1 = exact per-sweep AD-LDA sync; "
                         "R=2 measured 1.33x on a v5e with the same "
                         "joint-LL plateau — staleness slows early "
-                        "mixing only)")
+                        "mixing only; single-process scan path, "
+                        "ignored with a warning under --mesh; "
+                        "default: the config default)")
     p.add_argument("--mesh", default=None,
                    help="data,model mesh shape, e.g. 8,1 or 4,2")
     p.add_argument("--shard_vocab", action="store_true")
@@ -207,7 +209,11 @@ def config_from_args(args) -> LDAConfig:
             if args.sampler_block_positions is not None
             else {}
         ),
-        gibbs_rebuild_interval=args.gibbs_rebuild_interval,
+        **(
+            {"gibbs_rebuild_interval": args.gibbs_rebuild_interval}
+            if args.gibbs_rebuild_interval is not None
+            else {}
+        ),
         mesh_shape=(
             tuple(int(x) for x in args.mesh.split(",")) if args.mesh else None
         ),

@@ -37,6 +37,7 @@ from pylda_tpu.corpus.corpus import Corpus, SequenceBucket
 from pylda_tpu.ops.dirichlet import gammaln_fast
 from pylda_tpu.models.base import Inferencer, LDAState
 from pylda_tpu.ops.sampling import (
+    count_table,
     random_assignments,
     sample_doc_topics,
     sequence_token_score,
@@ -123,6 +124,14 @@ class MonteCarlo(Inferencer):
                 )
             )
         K, V = cfg.number_of_topics, len(self._vocab)
+        if cfg.gibbs_rebuild_interval > 1 and self._mesh is not None:
+            import warnings
+
+            warnings.warn(
+                "gibbs_rebuild_interval > 1 is single-process only; "
+                "running the exact per-sweep rebuild under the mesh",
+                stacklevel=2,
+            )
         key = jax.random.fold_in(self.state.key, 0x51BB5)
         self._z: List[jnp.ndarray] = []
         self._ndk: List[jnp.ndarray] = []
@@ -132,14 +141,12 @@ class MonteCarlo(Inferencer):
                 jax.random.fold_in(key, i), jnp.asarray(b.tokens), K
             )
             self._z.append(z)
-            hot = jax.nn.one_hot(z, K, dtype=self._dtype) * jnp.asarray(
-                b.token_mask
-            )[:, :, None]
+            mask = jnp.asarray(b.token_mask)
+            hot = jax.nn.one_hot(z, K, dtype=self._dtype) * mask[:, :, None]
             self._ndk.append(hot.sum(axis=1))
-            flat = hot.reshape(-1, K)
-            n_kv = n_kv + jax.ops.segment_sum(
-                flat, jnp.asarray(b.tokens).reshape(-1), num_segments=V
-            ).T
+            n_kv = n_kv + count_table(
+                jnp.asarray(b.tokens), mask, z, K, V, self._dtype
+            )
         self._n_kv = n_kv
         # Checkpoint resume: re-apply persisted z / count tables if present.
         if self._prepare_from_restore():
@@ -152,13 +159,16 @@ class MonteCarlo(Inferencer):
 
     # -- traced sweep / likelihood -------------------------------------------------
 
-    def _sweep(self, alpha, eta, key, n_kv, zs, buckets):
-        """One full AD-LDA sweep over every bucket + joint likelihood,
-        as a pure function (single dispatch)."""
+    def _sample_buckets(
+        self, alpha, key, log_tw, zs, buckets, accumulate: bool
+    ):
+        """One sweep of every bucket against a fixed factor — the
+        bucket loop shared by the exact and rebuild-interval paths (so
+        a sampler-call change cannot silently land in only one).
+        Returns (z_out, ndk_out, counts_sum_or_None)."""
         cfg = self._config
         K, V = cfg.number_of_topics, len(self._vocab)
-        log_tw = _log_phi_hat(n_kv, eta)
-        n_kv_new = jnp.zeros_like(n_kv)
+        counts_sum = None
         z_out, ndk_out = [], []
         for i, (b, z) in enumerate(zip(buckets, zs)):
             _gamma, counts, z_new, ndk = sample_doc_topics(
@@ -167,14 +177,32 @@ class MonteCarlo(Inferencer):
                 num_topics=K, num_types=V, burn_in=0, num_samples=1,
                 sampler=cfg.resolved_topic_sampler(),
                 block_positions=cfg.sampler_block_positions,
+                accumulate_counts=accumulate,
             )
             z_out.append(z_new)
             ndk_out.append(ndk)
-            n_kv_new = n_kv_new + counts
-        ll = _topic_side_ll(n_kv_new, eta)
+            if accumulate:
+                counts_sum = (
+                    counts if counts_sum is None else counts_sum + counts
+                )
+        return tuple(z_out), tuple(ndk_out), counts_sum
+
+    def _doc_ll_sum(self, ll, ndk_out, buckets, alpha):
         for b, ndk in zip(buckets, ndk_out):
             ll = ll + _doc_side_ll(ndk, b.mask, alpha)
-        return n_kv_new, tuple(z_out), tuple(ndk_out), ll
+        return ll
+
+    def _sweep(self, alpha, eta, key, n_kv, zs, buckets):
+        """One full AD-LDA sweep over every bucket + joint likelihood,
+        as a pure function (single dispatch)."""
+        log_tw = _log_phi_hat(n_kv, eta)
+        z_out, ndk_out, n_kv_new = self._sample_buckets(
+            alpha, key, log_tw, zs, buckets, accumulate=True
+        )
+        ll = self._doc_ll_sum(
+            _topic_side_ll(n_kv_new, eta), ndk_out, buckets, alpha
+        )
+        return n_kv_new, z_out, ndk_out, ll
 
     def _sweep_scan(self, alpha, eta, key, n_kv, zs, buckets, n):
         # ndk rides in the carry (only the final sweep's tables are
@@ -201,32 +229,25 @@ class MonteCarlo(Inferencer):
             )
             return n_kv, zs, ndk_last, lls
 
-        # R > 1: sample every sweep against the carried factor, rebuild
+        # R > 1: sample every sweep against the CARRIED factor, rebuild
         # the [K, V] table (62% of the sweep, per-index-bound) only on
         # every R-th sweep and on the final one — the same AD-LDA
         # approximation extended in time instead of space.  Tables are
-        # exact at the returned state; the per-sweep topic-side LL
-        # between rebuilds is reported at the latest table.
-        from pylda_tpu.ops.sampling import count_table
-
+        # exact at the returned state.  The factor AND the topic-side
+        # LL ride the carry and refresh inside the rebuild cond, so the
+        # skipped sweeps pay neither the scatter nor the [K, V]
+        # log/lgamma surfaces (their reported LL is the latest table's
+        # topic side + each sweep's fresh doc side).
         K, V = cfg.number_of_topics, len(self._vocab)
+        log_tw0 = _log_phi_hat(n_kv, eta)
+        ll_t0 = _topic_side_ll(n_kv, eta)
 
         def body(carry, i):
-            n_kv, zs_c, _ndk = carry
+            n_kv, log_tw, ll_topic, zs_c, _ndk = carry
             sub = jax.random.fold_in(key, i)
-            log_tw = _log_phi_hat(n_kv, eta)
-            z_out, ndk_out = [], []
-            for j, (b, z) in enumerate(zip(buckets, zs_c)):
-                _g, _cnt, z_new, ndk = sample_doc_topics(
-                    b.tokens, b.token_mask, log_tw, alpha, z,
-                    jax.random.fold_in(sub, j),
-                    num_topics=K, num_types=V, burn_in=0, num_samples=1,
-                    sampler=cfg.resolved_topic_sampler(),
-                    block_positions=cfg.sampler_block_positions,
-                    accumulate_counts=False,
-                )
-                z_out.append(z_new)
-                ndk_out.append(ndk)
+            z_out, ndk_out, _none = self._sample_buckets(
+                alpha, sub, log_tw, zs_c, buckets, accumulate=False
+            )
 
             def rebuild(_):
                 table = jnp.zeros_like(n_kv)
@@ -234,17 +255,20 @@ class MonteCarlo(Inferencer):
                     table = table + count_table(
                         b.tokens, b.token_mask, z_new, K, V, self._dtype
                     )
-                return table
+                return (
+                    table, _log_phi_hat(table, eta),
+                    _topic_side_ll(table, eta),
+                )
 
             do = jnp.logical_or((i + 1) % R == 0, i == n - 1)
-            n_kv_new = jax.lax.cond(do, rebuild, lambda _: n_kv, None)
-            ll = _topic_side_ll(n_kv_new, eta)
-            for b, ndk in zip(buckets, ndk_out):
-                ll = ll + _doc_side_ll(ndk, b.mask, alpha)
-            return (n_kv_new, tuple(z_out), tuple(ndk_out)), ll
+            n_kv_new, log_tw_new, ll_topic_new = jax.lax.cond(
+                do, rebuild, lambda _: (n_kv, log_tw, ll_topic), None
+            )
+            ll = self._doc_ll_sum(ll_topic_new, ndk_out, buckets, alpha)
+            return (n_kv_new, log_tw_new, ll_topic_new, z_out, ndk_out), ll
 
-        (n_kv, zs, ndk_last), lls = jax.lax.scan(
-            body, (n_kv, tuple(zs), ndk0), jnp.arange(n)
+        (n_kv, _ltw, _llt, zs, ndk_last), lls = jax.lax.scan(
+            body, (n_kv, log_tw0, ll_t0, tuple(zs), ndk0), jnp.arange(n)
         )
         return n_kv, zs, ndk_last, lls
 

@@ -344,7 +344,7 @@ def sample_doc_topics(
     def sweep_step(carry, s):
         z, ndk, acc_ndk, acc_kv = carry
         z, ndk = one_sweep(z, ndk, jax.random.fold_in(key, s))
-        if burn_in > 0:
+        if burn_in > 0 and accumulate_counts:
             # Burn-in sweeps are discarded: branch AROUND the [K, V]
             # count accumulation instead of multiplying it by 0 — the
             # rebuild scatter is the dominant sweep phase (~3.7 ms at
