@@ -445,6 +445,23 @@ class Inferencer:
         cfg_d["bucket_sizes"] = tuple(cfg_d.get("bucket_sizes") or ())
         if cfg_d.get("mesh_shape"):
             cfg_d["mesh_shape"] = tuple(cfg_d["mesh_shape"])
+        # Version tolerance both ways: snapshots from OLDER builds miss
+        # newly-added fields (dataclass defaults apply) and snapshots
+        # from NEWER builds may carry unknown fields — drop those with
+        # a warning instead of a TypeError.
+        import dataclasses as _dc
+
+        known = {f.name for f in _dc.fields(LDAConfig)}
+        unknown = sorted(set(cfg_d) - known)
+        if unknown:
+            import warnings
+
+            warnings.warn(
+                f"checkpoint config has unknown fields {unknown} "
+                "(saved by a newer build?) — ignoring them",
+                stacklevel=2,
+            )
+            cfg_d = {k: v for k, v in cfg_d.items() if k in known}
         config = LDAConfig(**cfg_d)
         engine = _models.ENGINES[config.inference_mode](config)
         vocab = Vocabulary(str(t) for t in blobs.pop("vocab").tolist())

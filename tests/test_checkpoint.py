@@ -176,3 +176,43 @@ def test_async_checkpoint_round_trip(tmp_path):
     eng.wait_for_checkpoint()
     last = Inferencer.load(str(tmp_path / "model-2"))
     assert int(last.state.step) == 6
+
+
+def test_load_tolerates_unknown_config_fields(tmp_path):
+    """A snapshot saved by a NEWER build may carry config fields this
+    build does not know; load drops them with a warning instead of a
+    TypeError (older-build snapshots already work via dataclass
+    defaults)."""
+    import json
+    import os
+    import warnings
+
+    import numpy as np
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import make_engine
+    from pylda_tpu.models.base import Inferencer
+    from pylda_tpu.utils.config import LDAConfig
+
+    c, _, _ = synthetic_corpus(
+        num_docs=40, num_topics=3, num_types=100, mean_doc_length=20,
+        seed=0,
+    )
+    eng = make_engine(LDAConfig(number_of_topics=3))
+    eng.initialize(c)
+    eng.learning_many(2)
+    p = str(tmp_path / "model-2")
+    eng.save(p)
+    blobs = dict(np.load(p, allow_pickle=False))
+    meta = json.loads(bytes(blobs["meta_json"].tobytes()).decode())
+    meta["config"]["future_flag_from_v99"] = True
+    blobs["meta_json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez(p + ".new", **blobs)
+    os.replace(p + ".new.npz", p)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eng2 = Inferencer.load(p, corpus=c)
+        assert any("unknown fields" in str(x.message) for x in w)
+    assert np.isfinite(eng2.perplexity(c))
