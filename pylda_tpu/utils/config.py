@@ -56,17 +56,18 @@ class LDAConfig:
     # (SURVEY.md section 7.3).
     inner_iterations: int = 50
     convergence_threshold: float = 1e-5
-    # Per-document gamma initialisation: "normal" (default) = the CLT
-    # surrogate of the reference's Gamma(100, 0.01) draw — N(1, 0.1)
-    # clipped at 0.2, matching mean/variance (shape 100 is three
-    # moments from normal); one Box-Muller draw instead of gamma
-    # REJECTION sampling, whose threefry+while_loops measured +37% on
-    # the config-4 SVI epoch and +23% at config 5 (the init re-draws
-    # per minibatch there; held-out ppl within the +-1% init-draw
-    # noise in both directions).  "gamma" = the exact reference-style
-    # rejection draw (SURVEY.md 3.1); "ones" = deterministic all-ones
-    # (bitwise-reproducible runs and tight oracle-parity tests).
-    gamma_init: str = "normal"
+    # Per-document gamma initialisation for the local fixed point.
+    # "ones" (default) = deterministic all-ones: the init is a COLD
+    # START re-drawn fresh for every E-step (and every SVI minibatch);
+    # symmetry is already broken by the random lambda, and the random
+    # draw's only measurable effect was its own cost — the reference's
+    # Gamma(100, 0.01) rejection sampler measured +37% on the config-4
+    # SVI epoch vs its N(1, 0.1) CLT surrogate ("normal"), and the
+    # surrogate's remaining threefry draw another +14%; held-out
+    # perplexity across configs 4/5 was within +-0.6% (both directions)
+    # between all three.  "gamma" = the exact reference-style draw
+    # (SURVEY.md 3.1); "normal" = the cheap stochastic surrogate.
+    gamma_init: str = "ones"
 
     # ----- sampling engines (SURVEY.md sections 8.2, 8.3) -----
     number_of_samples: int = 10  # kept sweeps averaged into phi-stats (hybrid)
