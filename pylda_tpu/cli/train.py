@@ -137,7 +137,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="bfloat16 = mixed-precision E-step contractions "
                         "(bf16 inputs, f32 accumulation)")
-    p.add_argument("--gamma_init", default="gamma", choices=["gamma", "normal", "ones"])
+    p.add_argument("--gamma_init", default=None,
+                   choices=["gamma", "normal", "ones"],
+                   help="per-E-step cold-start init (default: the "
+                        "config default, ones)")
     p.add_argument("--checkpoint_format", default="npz",
                    choices=["npz", "orbax"],
                    help="model-<N> snapshots as one npz file (default) or "
@@ -222,7 +225,11 @@ def config_from_args(args) -> LDAConfig:
         seed=args.seed,
         dtype=args.dtype,
         compute_dtype=args.compute_dtype,
-        gamma_init=args.gamma_init,
+        **(
+            {"gamma_init": args.gamma_init}
+            if args.gamma_init is not None
+            else {}
+        ),
         checkpoint_format=args.checkpoint_format,
     ).validate()
 

@@ -462,8 +462,21 @@ class Inferencer:
                 stacklevel=2,
             )
             cfg_d = {k: v for k, v in cfg_d.items() if k in known}
-        config = LDAConfig(**cfg_d)
-        engine = _models.ENGINES[config.inference_mode](config)
+        try:
+            config = LDAConfig(**cfg_d)
+            engine_cls = _models.ENGINES.get(config.inference_mode)
+            if engine_cls is None:
+                raise ValueError(
+                    f"unknown inference_mode {config.inference_mode!r}"
+                )
+        except ValueError as e:
+            # Unknown VALUES (not just fields) also mean a newer build:
+            # say so instead of surfacing a bare validation error.
+            raise ValueError(
+                f"checkpoint {path!r} is not loadable by this build "
+                f"({e}); it may have been saved by a newer version"
+            ) from e
+        engine = engine_cls(config)
         vocab = Vocabulary(str(t) for t in blobs.pop("vocab").tolist())
         engine._vocab = vocab
         engine._state = LDAState(

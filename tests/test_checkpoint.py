@@ -216,3 +216,39 @@ def test_load_tolerates_unknown_config_fields(tmp_path):
         eng2 = Inferencer.load(p, corpus=c)
         assert any("unknown fields" in str(x.message) for x in w)
     assert np.isfinite(eng2.perplexity(c))
+
+
+def test_load_reports_newer_build_for_unknown_values(tmp_path):
+    """Unknown config VALUES (e.g. a future inference_mode) also mean a
+    newer build: load raises a message saying so rather than a bare
+    KeyError/ValueError."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import make_engine
+    from pylda_tpu.models.base import Inferencer
+    from pylda_tpu.utils.config import LDAConfig
+
+    c, _, _ = synthetic_corpus(
+        num_docs=40, num_topics=3, num_types=100, mean_doc_length=20,
+        seed=0,
+    )
+    eng = make_engine(LDAConfig(number_of_topics=3))
+    eng.initialize(c)
+    eng.learning_many(1)
+    p = str(tmp_path / "model-1")
+    eng.save(p)
+    blobs = dict(np.load(p, allow_pickle=False))
+    meta = json.loads(bytes(blobs["meta_json"].tobytes()).decode())
+    meta["config"]["inference_mode"] = "ctm_from_v99"
+    blobs["meta_json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez(p + ".new", **blobs)
+    os.replace(p + ".new.npz", p)
+    with pytest.raises(ValueError, match="newer version"):
+        Inferencer.load(p)
