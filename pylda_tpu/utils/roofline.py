@@ -10,6 +10,15 @@ or the scan-fused studies in ``scripts/``.
 
 Peaks default to TPU v5e (the benched chip): 197 TFLOP/s bf16 /
 ~98 TFLOP/s f32 on the MXU, 819 GB/s HBM.  Override for other chips.
+
+Reading mfu across config changes: the sweep-phase bound is sized at
+the MEASURED converged sweep counts, so a change that makes the
+workload need FEWER sweeps (e.g. the round-5 ones-init, which starts
+closer to the fixed point) shrinks the bound — mfu can DROP while the
+wall gets faster (config 4 measured 0.41 -> 0.18 at a 12% faster
+epoch).  mfu answers "how close is this row to its own current
+workload's floor"; wall-clock throughput is the comparable series
+across changes that alter the workload itself.
 """
 
 from __future__ import annotations
