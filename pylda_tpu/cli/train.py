@@ -113,6 +113,37 @@ def build_parser() -> argparse.ArgumentParser:
                         "mixing only; single-process scan path, "
                         "ignored with a warning under --mesh; "
                         "default: the config default)")
+    p.add_argument("--slice_samples", type=int, default=None,
+                   help="Wallach slice-sampler draws per hyperopt call "
+                        "(Gibbs; default: the config default)")
+    p.add_argument("--slice_step", type=float, default=None,
+                   help="slice-sampler initial bracket step in log "
+                        "space (default: the config default)")
+    p.add_argument("--hybrid_persistent_z", action="store_true",
+                   help="hybrid: carry per-doc topic assignments across "
+                        "iterations (measured slightly worse on the "
+                        "point-estimate metric; default off)")
+    p.add_argument("--doc_pad_multiple", type=int, default=None,
+                   help="row-count alignment for batch layouts "
+                        "(default: the config default)")
+    p.add_argument("--estep_stall_patience", type=int, default=None,
+                   help="sweeps without 1%% best-change improvement "
+                        "before a row counts as stalled; 0 disables "
+                        "(default: the config default)")
+    p.add_argument("--estep_memory_budget_mb", type=int, default=None,
+                   help="cap on per-chunk E-step work arrays "
+                        "(default: the config default)")
+    p.add_argument("--sstats_dense_budget_mb", type=int, default=None,
+                   help="per-chunk budget for the dense sstats counts "
+                        "matrix (default: the config default)")
+    p.add_argument("--svi_device_rows_budget_mb", type=int, default=None,
+                   help="device-resident corpus rows budget for SVI; 0 "
+                        "forces the host-repack streaming path "
+                        "(default: the config default)")
+    p.add_argument("--use_pallas", default=None,
+                   choices=["never", "always"],
+                   help="route dense/ragged E-steps through the fused "
+                        "Pallas kernels (measured default: never)")
     p.add_argument("--mesh", default=None,
                    help="data,model mesh shape, e.g. 8,1 or 4,2")
     p.add_argument("--shard_vocab", action="store_true")
@@ -217,6 +248,18 @@ def config_from_args(args) -> LDAConfig:
             if args.gibbs_rebuild_interval is not None
             else {}
         ),
+        **{
+            k: getattr(args, k)
+            for k in (
+                "slice_samples", "slice_step", "doc_pad_multiple",
+                "estep_stall_patience", "estep_memory_budget_mb",
+                "sstats_dense_budget_mb", "svi_device_rows_budget_mb",
+                "use_pallas",
+            )
+            if getattr(args, k) is not None
+        },
+        **({"hybrid_persistent_z": True} if args.hybrid_persistent_z
+           else {}),
         mesh_shape=(
             tuple(int(x) for x in args.mesh.split(",")) if args.mesh else None
         ),
