@@ -58,9 +58,10 @@ def build_vb_batches(
         # chunk's B tile fits VMEM lets XLA keep it resident across
         # that chunk's while_loop sweeps — measured at the config-2
         # shape: 512 MB budget 95.0k docs/s, 48 MB 103.2k (+8.6%),
-        # 24 MB flat (saturated).  dtk (K >= 64) keeps the full budget:
-        # its B is already VMEM-resident and extra chunks only add
-        # while_loop overhead.
+        # 24 MB flat (saturated).  dtk (K >= 64) keeps the full budget
+        # — measured at the flagship (K=100, V=10k): 512 MB 677.0k
+        # docs/s, 96 MB 629.3k, 48 MB 537.2k — chunking only adds
+        # while_loop overhead where B is already effectively resident.
         import jax as _jax
 
         from pylda_tpu.ops.estep import _factor_layout
