@@ -242,3 +242,67 @@ def test_gamma_init_normal_mode(corpus):
         perp[m] = eng.perplexity(corpus.subset(range(32)))
     # Same basin quality within noise (different random inits).
     assert abs(perp["gamma"] - perp["normal"]) / perp["gamma"] < 0.05, perp
+
+
+def _recovery_overlap(true_beta, est, top_n=10):
+    import numpy as np
+
+    K = true_beta.shape[0]
+    true_top = np.argsort(-true_beta, axis=1)[:, :top_n]
+    est_top = np.argsort(-est, axis=1)[:, :top_n]
+    overlaps = np.zeros((K, K))
+    for i in range(K):
+        for j in range(K):
+            overlaps[i, j] = len(
+                set(true_top[i].tolist()) & set(est_top[j].tolist())
+            )
+    return overlaps.max(axis=1)
+
+
+def test_vb_engine_topic_recovery():
+    """Planted-topic recovery on the JAX VB ENGINE itself (the oracle
+    variant lives in test_oracle.py; SURVEY.md section 4 item 3 asks it
+    of every engine)."""
+    import numpy as np
+
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import make_engine
+    from pylda_tpu.utils.config import LDAConfig
+
+    K, V = 4, 80
+    corpus, true_beta, _ = synthetic_corpus(
+        num_docs=200, num_topics=K, num_types=V,
+        mean_doc_length=80, alpha=0.08, beta_concentration=0.03, seed=13,
+    )
+    eng = make_engine(LDAConfig(
+        number_of_topics=K, inference_mode="vb",
+        alpha_alpha=0.1, alpha_beta=0.01, seed=1,
+    ))
+    eng.initialize(corpus)
+    eng.learning_many(40)
+    best = _recovery_overlap(true_beta, eng.topic_word_distribution())
+    assert (best >= 4).all(), best
+    assert best.mean() >= 6.5, best
+
+
+def test_svi_engine_topic_recovery():
+    """Planted-topic recovery for the SVI engine (minibatch
+    natural-gradient path) — the fourth engine family."""
+    from pylda_tpu.corpus.synthetic import synthetic_corpus
+    from pylda_tpu.models import make_engine
+    from pylda_tpu.utils.config import LDAConfig
+
+    K, V = 4, 80
+    corpus, true_beta, _ = synthetic_corpus(
+        num_docs=200, num_topics=K, num_types=V,
+        mean_doc_length=80, alpha=0.08, beta_concentration=0.03, seed=13,
+    )
+    eng = make_engine(LDAConfig(
+        number_of_topics=K, inference_mode="svi", batch_size=64,
+        tau0=16.0, kappa=0.7, alpha_alpha=0.1, alpha_beta=0.01, seed=1,
+    ))
+    eng.initialize(corpus)
+    eng.learning_many(40)
+    best = _recovery_overlap(true_beta, eng.topic_word_distribution())
+    assert (best >= 4).all(), best
+    assert best.mean() >= 6.5, best
