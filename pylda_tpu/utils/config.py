@@ -234,8 +234,10 @@ class LDAConfig:
     # never written to HBM).  Same reduction either way (exact on-chip
     # parity, scripts/sstats_kernel_ab.py); "auto" resolves to pallas on
     # a TPU backend and xla elsewhere (interpret-mode Pallas on CPU is
-    # correct but slow).  Measured in-engine at the flagship shape:
-    # 9.60 ms/pass pallas vs 10.06 xla (+4.6%).
+    # correct but slow).  Measured in-engine at the flagship shape
+    # (round 5, at the 6 ms pass): 6.10 ms/pass pallas vs 7.00 xla
+    # (+14.8% — the kernel's fixed saving is a larger fraction of the
+    # much faster pass than the round-2 +4.6%).
     sstats_kernel: str = "auto"
 
     def resolved_sstats_kernel(self, backend: str) -> str:
